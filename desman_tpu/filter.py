@@ -1,0 +1,160 @@
+"""Variant-position filter: likelihood-ratio test + error-matrix estimation.
+
+TPU-native counterpart of the reference's ``desman/Variant_Filter.py``
+(SURVEY.md §2, §3.2). Per position (pooled base counts across samples):
+
+  H0: one true base a plus sequencing error        -> p_b = eta[a, b]
+  H1: two true bases (a, c) mixed with fraction x  -> p_b = x eta[a,b] + (1-x) eta[c,b]
+
+Both hypotheses are maximized (H0: argmax over 4 bases; H1: argmax over the 6
+base pairs with the mixture fraction fit by a fixed-iteration EM — a
+vmap-friendly formulation instead of the reference's scipy optimize,
+SURVEY.md §7.3). The LLR statistic is referred to a chi-square tail; a few
+outer rounds re-estimate the global error matrix eta from H0-consistent
+positions; finally Benjamini–Hochberg FDR selects variants. The whole
+per-position computation is one jitted vmap over V — embarrassingly parallel
+(SURVEY.md §3.2 note).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io import CountsData
+from .synth import make_eta
+from .utils import NBASES, all_base_pairs, bh_fdr, safe_log
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    min_coverage: float = 5.0      # reference -m: min total coverage per position
+    q_cutoff: float = 0.05         # BH q-value selection threshold
+    chi2_df: float = 1.0           # LRT degrees of freedom [M — SURVEY §9.6]
+    max_outer_iters: int = 8       # eta re-estimation rounds
+    em_iters: int = 30             # fixed EM iterations for the H1 fraction
+    eta_tol: float = 1e-5          # outer-loop convergence on eta
+    init_error_rate: float = 0.01
+    p_consistent: float = 0.05     # positions with p above this train eta
+
+
+@dataclass
+class FilterResult:
+    selected: np.ndarray     # bool [V]
+    pvalues: np.ndarray      # [V]
+    qvalues: np.ndarray      # [V]
+    eta: np.ndarray          # [4,4] fitted error matrix (tran_df)
+    llr: np.ndarray          # [V]
+    h0_base: np.ndarray      # [V] ML base under H0
+    n_outer_iters: int
+
+
+_PAIRS = np.array(all_base_pairs(), dtype=np.int32)  # [6,2]
+
+
+def _h0_loglik(c: jax.Array, eta: jax.Array):
+    """Best single-base log-likelihood per position. c: [V,4] -> ([V], [V])."""
+    ll = c @ safe_log(eta).T                     # [V,4]: ll[v,a] = sum_b c_vb log eta[a,b]
+    return jnp.max(ll, axis=1), jnp.argmax(ll, axis=1)
+
+
+def _h1_pair_loglik(c: jax.Array, pa, pc, em_iters: int):
+    """EM over the mixture fraction x for one base pair; vectorized over V.
+
+    c: [V,4]; pa, pc: [4] rows of eta. Returns max log-lik per position.
+    EM for a 2-component multinomial mixture in x is monotone, so a fixed
+    iteration count is safe (jit-friendly; SURVEY.md §7.3 'filter
+    optimization loop').
+    """
+    N = jnp.maximum(jnp.sum(c, axis=1), 1.0)     # [V]
+
+    def body(_, x):
+        # responsibility of component a for base b, per position
+        mix = x[:, None] * pa[None, :] + (1.0 - x[:, None]) * pc[None, :]
+        r = x[:, None] * pa[None, :] / jnp.maximum(mix, 1e-12)
+        x_new = jnp.sum(c * r, axis=1) / N
+        return jnp.clip(x_new, 1e-6, 1.0 - 1e-6)
+
+    x0 = jnp.full((c.shape[0],), 0.5)
+    x = jax.lax.fori_loop(0, em_iters, body, x0)
+    mix = x[:, None] * pa[None, :] + (1.0 - x[:, None]) * pc[None, :]
+    return jnp.sum(c * safe_log(mix), axis=1), x
+
+
+@partial(jax.jit, static_argnames=("em_iters",))
+def _filter_stats(c: jax.Array, eta: jax.Array, em_iters: int = 30):
+    """Per-position LLR statistics given eta. c: [V,4] pooled counts."""
+    ll0, base0 = _h0_loglik(c, eta)
+
+    def pair_ll(pair):
+        a, b = pair[0], pair[1]
+        return _h1_pair_loglik(c, eta[a], eta[b], em_iters)[0]
+
+    ll1_pairs = jax.vmap(pair_ll)(jnp.asarray(_PAIRS))   # [6,V]
+    ll1 = jnp.max(ll1_pairs, axis=0)
+    llr = jnp.maximum(2.0 * (ll1 - ll0), 0.0)
+    return llr, ll0, ll1, base0
+
+
+def _chi2_sf(x: jax.Array, df: float) -> jax.Array:
+    """Upper tail of chi-square via the regularized incomplete gamma."""
+    return jax.scipy.special.gammaincc(df / 2.0, x / 2.0)
+
+
+@jax.jit
+def _reestimate_eta(c: jax.Array, base0: jax.Array, consistent: jax.Array):
+    """Refit eta rows from H0-consistent positions' pooled counts.
+
+    Row a accumulates the base counts of consistent positions whose ML true
+    base is a; rows are normalized with a +1 pseudo-count on the diagonal to
+    stay proper when a base is unobserved.
+    """
+    w = consistent.astype(jnp.float32)[:, None] * c      # [V,4]
+    onehot = jax.nn.one_hot(base0, NBASES)               # [V,4]
+    rows = onehot.T @ w                                  # [4,4]
+    rows = rows + jnp.eye(NBASES)
+    return rows / jnp.sum(rows, axis=1, keepdims=True)
+
+
+def filter_variants(
+    data: CountsData, cfg: FilterConfig = FilterConfig()
+) -> FilterResult:
+    """Run the full filter: coverage gate -> iterate (LLR, eta refit) -> BH FDR.
+
+    Positions failing min_coverage get p = q = 1 and are never selected
+    (masked, not dropped — static shapes, SURVEY.md §7.3).
+    """
+    c_all = jnp.asarray(data.counts.sum(axis=1), jnp.float32)   # [V,4] pooled
+    cov_ok = np.asarray(data.counts.sum(axis=(1, 2)) >= cfg.min_coverage)
+
+    eta = jnp.asarray(make_eta(cfg.init_error_rate), jnp.float32)
+    llr = ll0 = ll1 = base0 = None
+    it = 0
+    for it in range(1, cfg.max_outer_iters + 1):
+        llr, ll0, ll1, base0 = _filter_stats(c_all, eta, em_iters=cfg.em_iters)
+        pvals = _chi2_sf(llr, cfg.chi2_df)
+        consistent = (pvals > cfg.p_consistent) & jnp.asarray(cov_ok)
+        eta_new = _reestimate_eta(c_all, base0, consistent)
+        delta = float(jnp.max(jnp.abs(eta_new - eta)))
+        eta = eta_new
+        if delta < cfg.eta_tol:
+            break
+
+    pvals = np.asarray(_chi2_sf(llr, cfg.chi2_df), dtype=np.float64)
+    pvals = np.where(cov_ok, pvals, 1.0)
+    qvals = bh_fdr(pvals)
+    qvals = np.where(cov_ok, qvals, 1.0)
+    selected = (qvals < cfg.q_cutoff) & cov_ok
+
+    return FilterResult(
+        selected=selected,
+        pvalues=pvals,
+        qvalues=qvals,
+        eta=np.asarray(eta, dtype=np.float64),
+        llr=np.asarray(llr, dtype=np.float64),
+        h0_base=np.asarray(base0, dtype=np.int32),
+        n_outer_iters=it,
+    )

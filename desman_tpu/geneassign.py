@@ -1,0 +1,228 @@
+"""Accessory-gene assignment (the reference's GeneAssign + Eta_Sampler).
+
+Maps per-gene coverage profiles onto the inferred strains (SURVEY.md §0.1
+GeneAssign model): gene d's mean coverage across samples is modeled as
+
+    x[d,s] ~ noise( mu[d,s] ),   mu[d,s] = sum_g etaG[d,g] * cov[g,s]
+
+where cov[g,s] = gamma[s,g] * total_cov[s] is strain g's absolute coverage in
+sample s derived from the core-gene gamma, and etaG[d,g] in {0..max_copy} is
+gene d's copy number in strain g.
+
+TPU-first design (per BASELINE.json: "vmapped likelihood evaluations against
+inferred gamma"): instead of the reference's per-gene MCMC (Eta_Sampler,
+SURVEY.md §2), the default mode **exactly enumerates** all (max_copy+1)^G
+copy-number states — one [K,S] mu matrix shared by every gene, one
+[D,K] log-likelihood einsum, an argmax and a softmax. For small G this is
+exact posterior inference, strictly stronger than MCMC. A Gibbs mode with the
+same likelihood is provided for large G ((max_copy+1)^G > state_cap).
+
+Noise model: quasi-Poisson log-likelihood x log mu - mu (scale phi), the
+natural choice for coverage depths; a Gaussian option is included.
+An optional gene-tau assignment (reference ``--assign_tau``) reuses the core
+tau Gibbs sweep with gamma/eta frozen.
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils import heinsum, safe_log
+
+_MU_FLOOR = 1e-6
+
+
+@dataclass(frozen=True)
+class GeneAssignConfig:
+    max_copy: int = 1            # max gene copies per strain (1 = presence/absence)
+    model: str = "quasipoisson"  # or "gaussian"
+    phi: float = 1.0             # quasi-Poisson dispersion / Gaussian sigma^2 scale
+    state_cap: int = 4096        # enumeration limit; above this use Gibbs
+    gibbs_sweeps: int = 100
+    min_strain_cov: float = 0.0  # strains below this total coverage can't carry genes
+
+
+class GeneAssignResult(NamedTuple):
+    eta_star: jax.Array       # [D,G] int MAP copy numbers
+    presence_prob: jax.Array  # [D,G] posterior P(etaG >= 1)
+    copy_post_mean: jax.Array  # [D,G] posterior mean copy number
+    loglik: jax.Array         # [D] MAP state log-likelihood
+    confidence: jax.Array     # [D] posterior prob of the MAP state
+
+
+def strain_coverage(gamma: np.ndarray, sample_cov: np.ndarray) -> np.ndarray:
+    """cov[g,s] = gamma[s,g] * total_cov[s] — strain absolute coverage."""
+    return (np.asarray(gamma) * np.asarray(sample_cov)[:, None]).T
+
+
+def sample_total_coverage(counts: np.ndarray) -> np.ndarray:
+    """Per-sample mean coverage over the core variant positions [S]."""
+    return np.asarray(counts).sum(axis=2).mean(axis=0)
+
+
+def _states(G: int, max_copy: int) -> np.ndarray:
+    """All copy-number states [(max_copy+1)^G, G]."""
+    return np.array(
+        list(itertools.product(range(max_copy + 1), repeat=G)), dtype=np.float32
+    )
+
+
+def _state_loglik(x, mu, model: str, phi: float):
+    """ll[d,k] = sum_s log p(x[d,s] | mu[k,s]). x: [D,S], mu: [K,S]."""
+    mu = jnp.maximum(mu, _MU_FLOOR)
+    if model == "quasipoisson":
+        # x log mu - mu, scaled by dispersion phi (constants drop out)
+        return (
+            heinsum("ds,ks->dk", x, safe_log(mu)) - jnp.sum(mu, axis=1)[None, :]
+        ) / phi
+    elif model == "gaussian":
+        # -(x-mu)^2 / (2 phi) summed over s
+        x2 = jnp.sum(x * x, axis=1)[:, None]
+        xm = heinsum("ds,ks->dk", x, mu)
+        m2 = jnp.sum(mu * mu, axis=1)[None, :]
+        return -(x2 - 2.0 * xm + m2) / (2.0 * phi)
+    raise ValueError(f"unknown model {model!r}")
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _enumerate_assign(x, cov, states, model: str, phi: float):
+    mu = heinsum("kg,gs->ks", states, cov)                 # [K,S]
+    ll = _state_loglik(x, mu, model, phi)                  # [D,K]
+    best = jnp.argmax(ll, axis=1)                          # [D]
+    post = jax.nn.softmax(ll, axis=1)                      # [D,K] uniform prior
+    eta_star = states[best].astype(jnp.int32)              # [D,G]
+    presence = heinsum("dk,kg->dg", post, (states >= 1.0).astype(jnp.float32))
+    copy_mean = heinsum("dk,kg->dg", post, states)
+    conf = jnp.take_along_axis(post, best[:, None], axis=1)[:, 0]
+    ll_best = jnp.take_along_axis(ll, best[:, None], axis=1)[:, 0]
+    return eta_star, presence, copy_mean, ll_best, conf
+
+
+def assign_genes(
+    gene_cov: np.ndarray,
+    cov: np.ndarray,
+    cfg: GeneAssignConfig = GeneAssignConfig(),
+    key: Optional[jax.Array] = None,
+) -> GeneAssignResult:
+    """Assign genes to strains. gene_cov: [D,S]; cov: [G,S] strain coverage."""
+    G = cov.shape[0]
+    K = (cfg.max_copy + 1) ** G
+    x = jnp.asarray(gene_cov, jnp.float32)
+    c = jnp.asarray(cov, jnp.float32)
+    if K <= cfg.state_cap:
+        states = jnp.asarray(_states(G, cfg.max_copy))
+        eta_star, presence, copy_mean, ll, conf = _enumerate_assign(
+            x, c, states, cfg.model, cfg.phi
+        )
+        return GeneAssignResult(eta_star, presence, copy_mean, ll, conf)
+    return _gibbs_assign(x, c, cfg, key or jax.random.PRNGKey(0))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _gibbs_assign(x, cov, cfg: GeneAssignConfig, key):
+    """Per-gene Gibbs over strain copy numbers for large G.
+
+    Genes are independent given cov -> vmap over D; within a gene, iterate
+    strains and enumerate the (max_copy+1) values of one entry conditioned on
+    the rest (the reference Eta_Sampler's conditional update, SURVEY.md §3.3).
+    """
+    D, S = x.shape
+    G = cov.shape[0]
+    C = cfg.max_copy + 1
+    copies = jnp.arange(C, dtype=jnp.float32)              # [C]
+
+    def gene_ll(xd, mu):
+        mu = jnp.maximum(mu, _MU_FLOOR)
+        if cfg.model == "quasipoisson":
+            return (jnp.sum(xd * safe_log(mu)) - jnp.sum(mu)) / cfg.phi
+        return -jnp.sum((xd - mu) ** 2) / (2.0 * cfg.phi)
+
+    def strain_update(g, carry, xd, k):
+        eta_d, mu = carry                                   # [G], [S]
+        base = mu - eta_d[g] * cov[g]                       # remove strain g
+        cand_mu = base[None, :] + copies[:, None] * cov[g][None, :]   # [C,S]
+        cand_ll = jax.vmap(lambda m: gene_ll(xd, m))(cand_mu)         # [C]
+        gz = jax.random.gumbel(jax.random.fold_in(k, g), (C,))
+        new = jnp.argmax(cand_ll + gz).astype(jnp.float32)
+        return eta_d.at[g].set(new), base + new * cov[g]
+
+    def run_gene(xd, kd):
+        eta0 = jnp.zeros((G,), jnp.float32)
+        mu0 = jnp.zeros((S,), jnp.float32)
+
+        def sweep(carry, it):
+            eta_d, mu, acc, best_ll, best_eta = carry
+            k = jax.random.fold_in(kd, it)
+            eta_d, mu = jax.lax.fori_loop(
+                0, G, lambda g, c: strain_update(g, c, xd, k), (eta_d, mu)
+            )
+            ll = gene_ll(xd, mu)
+            better = ll > best_ll
+            best_ll = jnp.where(better, ll, best_ll)
+            best_eta = jnp.where(better, eta_d, best_eta)
+            half = it >= (cfg.gibbs_sweeps // 2)
+            acc = acc + jnp.where(half, eta_d, 0.0)
+            return (eta_d, mu, acc, best_ll, best_eta), None
+
+        init = (eta0, mu0, jnp.zeros((G,)), -jnp.inf, eta0)
+        (eta_d, mu, acc, best_ll, best_eta), _ = jax.lax.scan(
+            sweep, init, jnp.arange(cfg.gibbs_sweeps)
+        )
+        n_keep = cfg.gibbs_sweeps - cfg.gibbs_sweeps // 2
+        mean_eta = acc / n_keep
+        return best_eta.astype(jnp.int32), mean_eta, best_ll
+
+    keys = jax.random.split(key, D)
+    eta_star, copy_mean, ll = jax.vmap(run_gene)(x, keys)
+    presence = jnp.clip(copy_mean, 0.0, 1.0)
+    conf = jnp.ones((D,)) * jnp.nan  # exact posterior unavailable in Gibbs mode
+    return GeneAssignResult(eta_star, presence, copy_mean, ll, conf)
+
+
+def assign_gene_tau(
+    counts: np.ndarray,
+    gamma: np.ndarray,
+    eta: np.ndarray,
+    sweeps: int = 50,
+    seed: int = 0,
+):
+    """Assign gene-level SNVs to strains with gamma/eta frozen (the reference's
+    ``--assign_tau`` mode, SURVEY.md §0.1): Gibbs over tau only, returning
+    (tau_star [V,G], tau_mean [V,G,4])."""
+    from .sampler import tau_sweep_xla
+    from .likelihood import mixture
+    from .utils import one_hot_tau
+
+    n = jnp.asarray(counts, jnp.float32)
+    gamma_j = jnp.asarray(gamma, jnp.float32)
+    eta_j = jnp.asarray(eta, jnp.float32)
+    G = gamma_j.shape[1]
+    V = n.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def go():
+        tau0 = jnp.zeros((V, G), jnp.int32)
+        mix0 = mixture(one_hot_tau(tau0), gamma_j)
+
+        def body(carry, it):
+            tau, mix, acc = carry
+            k = jax.random.fold_in(key, it)
+            tau, mix = tau_sweep_xla(n, tau, mix, gamma_j, eta_j, k)
+            acc = acc + jnp.where(it >= sweeps // 2, one_hot_tau(tau), 0.0)
+            return (tau, mix, acc), None
+
+        acc0 = jnp.zeros((V, G, 4), jnp.float32)
+        (tau, mix, acc), _ = jax.lax.scan(
+            body, (tau0, mix0, acc0), jnp.arange(sweeps)
+        )
+        tau_mean = acc / (sweeps - sweeps // 2)
+        return jnp.argmax(tau_mean, axis=-1).astype(jnp.int32), tau_mean
+
+    return go()

@@ -1,0 +1,219 @@
+"""DESMAN-format I/O.
+
+Format-compatible readers/writers for the reference's file conventions
+(SURVEY.md §8 — the compatibility contract):
+
+- variant counts CSV: ``Contig,Position,<sample>-A,<sample>-C,<sample>-G,<sample>-T``
+- ``tran_df.csv``: the 4x4 base-transition error matrix eta, rows/cols A,C,G,T
+- run output dir: ``fit.txt``, ``Gamma_mean.csv``, ``Gamma_star.csv``,
+  ``Eta_mean.csv``, ``Eta_star.csv``, ``Filtered_Tau_star.csv``, ``Tau_mean.csv``
+- filter outputs: ``sel_var.csv``, ``p_df.csv``, ``q_df.csv``, ``tran_df.csv``
+
+The reference mount was empty at build time (SURVEY.md provenance warning), so
+exact column headers follow the published DESMAN usage; our own pipeline
+(model_selection, validation) consumes these same writers, keeping the stack
+self-consistent. ``fit.txt`` schema: one CSV line
+``G,V,S,mean_deviance,star_deviance,star_loglik`` (documented here because the
+model-selection CLI parses it).
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .utils import BASES, NBASES
+
+
+@dataclass
+class CountsData:
+    """Dense variant-count tensor plus its row/column labels.
+
+    counts: int32 [V, S, 4] — reads of each base at position v in sample s.
+    contigs/positions: length-V labels; samples: length-S names.
+    """
+
+    counts: np.ndarray
+    contigs: np.ndarray
+    positions: np.ndarray
+    samples: list
+
+    @property
+    def V(self) -> int:
+        return self.counts.shape[0]
+
+    @property
+    def S(self) -> int:
+        return self.counts.shape[1]
+
+    def coverage(self) -> np.ndarray:
+        """Per-position per-sample coverage N[v,s]."""
+        return self.counts.sum(axis=2)
+
+    def select(self, idx: np.ndarray) -> "CountsData":
+        return CountsData(
+            counts=self.counts[idx],
+            contigs=self.contigs[idx],
+            positions=self.positions[idx],
+            samples=self.samples,
+        )
+
+
+def read_counts_csv(path: str) -> CountsData:
+    """Read a DESMAN variant-count CSV into a dense [V,S,4] tensor.
+
+    Accepts the reference header convention ``<sample>-A`` (also tolerates
+    ``<sample>.A`` / ``<sample>_A``). The first two columns are
+    ``Contig,Position`` (any capitalization).
+    """
+    df = pd.read_csv(path)
+    cols = list(df.columns)
+    if len(cols) < 2 + NBASES:
+        raise ValueError(f"{path}: expected Contig,Position + per-sample base columns")
+    contig_col, pos_col = cols[0], cols[1]
+
+    sample_names: list = []
+    sample_cols: dict = {}
+    pat = re.compile(r"^(.*)[-._]([ACGT])$")
+    for c in cols[2:]:
+        m = pat.match(str(c))
+        if not m:
+            raise ValueError(f"{path}: column {c!r} does not look like '<sample>-A/C/G/T'")
+        name, base = m.group(1), m.group(2)
+        if name not in sample_cols:
+            sample_cols[name] = {}
+            sample_names.append(name)
+        sample_cols[name][base] = c
+
+    V = len(df)
+    S = len(sample_names)
+    counts = np.zeros((V, S, NBASES), dtype=np.int32)
+    for s, name in enumerate(sample_names):
+        for a, base in enumerate(BASES):
+            col = sample_cols[name].get(base)
+            if col is None:
+                raise ValueError(f"{path}: sample {name!r} missing base column {base}")
+            counts[:, s, a] = df[col].to_numpy(dtype=np.int64)
+
+    return CountsData(
+        counts=counts,
+        contigs=df[contig_col].to_numpy(),
+        positions=df[pos_col].to_numpy(),
+        samples=sample_names,
+    )
+
+
+def write_counts_csv(path: str, data: CountsData) -> None:
+    """Inverse of read_counts_csv (used by the filter to emit sel_var.csv)."""
+    out = {"Contig": data.contigs, "Position": data.positions}
+    for s, name in enumerate(data.samples):
+        for a, base in enumerate(BASES):
+            out[f"{name}-{base}"] = data.counts[:, s, a]
+    pd.DataFrame(out).to_csv(path, index=False)
+
+
+def read_eta_csv(path: str) -> np.ndarray:
+    """Read a tran_df.csv-style 4x4 eta (row = true base, col = read base)."""
+    df = pd.read_csv(path, index_col=0)
+    eta = df.to_numpy(dtype=np.float64)
+    if eta.shape != (NBASES, NBASES):
+        raise ValueError(f"{path}: expected 4x4 matrix, got {eta.shape}")
+    return eta
+
+
+def write_eta_csv(path: str, eta: np.ndarray) -> None:
+    pd.DataFrame(np.asarray(eta), index=list(BASES), columns=list(BASES)).to_csv(path)
+
+
+def write_gamma_csv(path: str, gamma: np.ndarray, samples=None) -> None:
+    """gamma [S,G] → CSV with sample index and H1..HG strain columns."""
+    gamma = np.asarray(gamma)
+    S, G = gamma.shape
+    idx = samples if samples is not None else [f"S{i}" for i in range(S)]
+    cols = [f"H{g + 1}" for g in range(G)]
+    pd.DataFrame(gamma, index=idx, columns=cols).to_csv(path)
+
+
+def read_gamma_csv(path: str) -> np.ndarray:
+    return pd.read_csv(path, index_col=0).to_numpy(dtype=np.float64)
+
+
+def write_tau_star_csv(
+    path: str, tau_idx: np.ndarray, contigs, positions
+) -> None:
+    """Haplotype calls: Contig,Position + one-hot base columns per strain.
+
+    tau_idx: int [V,G]. Column layout ``H<g>-<base>`` mirrors the reference's
+    Filtered_Tau_star.csv one-hot encoding.
+    """
+    tau_idx = np.asarray(tau_idx)
+    V, G = tau_idx.shape
+    out = {"Contig": contigs, "Position": positions}
+    for g in range(G):
+        onehot = np.eye(NBASES, dtype=np.int64)[tau_idx[:, g]]
+        for a, base in enumerate(BASES):
+            out[f"H{g + 1}-{base}"] = onehot[:, a]
+    pd.DataFrame(out).to_csv(path, index=False)
+
+
+def read_tau_star_csv(path: str):
+    """Read a Filtered_Tau_star.csv back to ([V,G] int calls, contigs, positions)."""
+    df = pd.read_csv(path)
+    contigs = df.iloc[:, 0].to_numpy()
+    positions = df.iloc[:, 1].to_numpy()
+    base_cols = [c for c in df.columns[2:]]
+    G = len(base_cols) // NBASES
+    onehot = df[base_cols].to_numpy(dtype=np.int64).reshape(len(df), G, NBASES)
+    return onehot.argmax(axis=2).astype(np.int32), contigs, positions
+
+
+def write_tau_mean_csv(path: str, tau_mean: np.ndarray, contigs, positions) -> None:
+    """Posterior base probabilities [V,G,4] (used for SNV uncertainty)."""
+    tau_mean = np.asarray(tau_mean)
+    V, G, _ = tau_mean.shape
+    out = {"Contig": contigs, "Position": positions}
+    for g in range(G):
+        for a, base in enumerate(BASES):
+            out[f"H{g + 1}-{base}"] = tau_mean[:, g, a]
+    pd.DataFrame(out).to_csv(path, index=False)
+
+
+def read_tau_mean_csv(path: str) -> np.ndarray:
+    df = pd.read_csv(path)
+    base_cols = list(df.columns[2:])
+    G = len(base_cols) // NBASES
+    return df[base_cols].to_numpy(dtype=np.float64).reshape(len(df), G, NBASES)
+
+
+def write_fit_txt(
+    path: str, G: int, V: int, S: int,
+    mean_deviance: float, star_deviance: float, star_loglik: float,
+) -> None:
+    with open(path, "w") as f:
+        f.write("G,V,S,mean_deviance,star_deviance,star_loglik\n")
+        f.write(
+            f"{G},{V},{S},{mean_deviance:.6f},{star_deviance:.6f},{star_loglik:.6f}\n"
+        )
+
+
+def read_fit_txt(path: str) -> dict:
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+        values = f.readline().strip().split(",")
+    rec = dict(zip(header, values))
+    return {
+        "G": int(rec["G"]),
+        "V": int(rec["V"]),
+        "S": int(rec["S"]),
+        "mean_deviance": float(rec["mean_deviance"]),
+        "star_deviance": float(rec["star_deviance"]),
+        "star_loglik": float(rec["star_loglik"]),
+    }
+
+
+def ensure_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path

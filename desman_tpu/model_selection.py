@@ -1,0 +1,164 @@
+"""Model selection over the number of strains G (resolvenhap semantics).
+
+The reference fans ``desman -g g -s r`` out as OS processes over a (G, seed)
+grid and ``scripts/resolvenhap.py`` scans the output dirs, comparing posterior
+mean deviance and mean SNV uncertainty (SURVEY.md §3.4). Here the grid runs
+on-device — chains vmapped over seeds inside one compiled program per G (G
+changes array shapes, so each G is its own executable) — and the selection
+rule is a library function + CLI over the same fit.txt file conventions.
+
+Selection rule [M — SURVEY.md §9.7, to verify when the reference mounts]:
+for each G take the best replicate by posterior mean deviance; choose the
+smallest G whose relative deviance improvement over G-1 falls below
+``dev_cutoff``; report that G's best run and its SNV uncertainty (fraction of
+posterior base calls with mode probability < 0.9, compared to ``unc_cutoff``).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import io
+from .likelihood import snv_uncertainty
+from .sampler import (
+    SamplerConfig, deviance_from_loglik, run_chains, total_coeff,
+)
+
+
+@dataclass
+class RunRecord:
+    G: int
+    seed: int
+    mean_deviance: float
+    uncertainty: float
+    run_dir: Optional[str] = None
+
+
+@dataclass
+class SelectionResult:
+    G: int
+    seed: int
+    uncertainty: float
+    mean_deviance: float
+    records: List[RunRecord]
+    run_dir: Optional[str] = None
+
+    def summary_line(self) -> str:
+        """CSV summary (the reference CLI's stdout contract analogue)."""
+        return (
+            f"{self.G},{self.seed},{self.uncertainty:.6f},"
+            f"{self.mean_deviance:.6f},{self.run_dir or ''}"
+        )
+
+
+def fit_grid(
+    counts: np.ndarray,
+    g_values: Sequence[int],
+    seeds: Sequence[int],
+    iterations: int = 250,
+    eta_init: Optional[np.ndarray] = None,
+    fix_eta: bool = False,
+    kappa_gamma: float = 100.0,
+    kappa_eta: float = 1000.0,
+    unc_threshold: float = 0.9,
+    out_stub: Optional[str] = None,
+    data: Optional[io.CountsData] = None,
+) -> List[RunRecord]:
+    """Fit G x seeds on-device; optionally write per-run output dirs.
+
+    Replaces the reference's shell-level process fan-out (SURVEY.md §2.2
+    'multi-chain parallel'): seeds are vmapped; G values loop on host.
+    """
+    n = jnp.asarray(counts, jnp.float32)
+    coeff = total_coeff(counts)
+    burn = iterations // 2
+    eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
+
+    records: List[RunRecord] = []
+    for G in g_values:
+        cfg = SamplerConfig(
+            G=G, burn=burn, samples=iterations - burn,
+            kappa_gamma=kappa_gamma, kappa_eta=kappa_eta, fix_eta=fix_eta,
+        )
+        res = run_chains(n, cfg, seeds, eta_init=eta)
+        for i, seed in enumerate(seeds):
+            mean_dev = deviance_from_loglik(float(res.mean_loglik[i]), coeff)
+            unc = float(snv_uncertainty(res.tau_mean[i], unc_threshold))
+            run_dir = None
+            if out_stub is not None and data is not None:
+                from .run import write_outputs
+
+                run_dir = f"{out_stub}_{G}_{seed}"
+                chain = jax.tree_util.tree_map(lambda x: x[i], res)
+                write_outputs(run_dir, data, chain, cfg)
+            records.append(
+                RunRecord(G=G, seed=int(seed), mean_deviance=mean_dev,
+                          uncertainty=unc, run_dir=run_dir)
+            )
+    return records
+
+
+def scan_run_dirs(run_dirs: Sequence[str], unc_threshold: float = 0.9) -> List[RunRecord]:
+    """Rebuild RunRecords from on-disk output dirs (reference resolvenhap's
+    glob-and-parse path, SURVEY.md §3.4). Seed is parsed from the trailing
+    ``_<G>_<seed>`` of the dir name when present."""
+    records = []
+    for d in run_dirs:
+        fit = io.read_fit_txt(os.path.join(d, "fit.txt"))
+        tau_mean = io.read_tau_mean_csv(os.path.join(d, "Tau_mean.csv"))
+        unc = float(snv_uncertainty(jnp.asarray(tau_mean, jnp.float32), unc_threshold))
+        parts = os.path.basename(os.path.normpath(d)).split("_")
+        seed = int(parts[-1]) if parts[-1].isdigit() else 0
+        records.append(
+            RunRecord(G=fit["G"], seed=seed, mean_deviance=fit["mean_deviance"],
+                      uncertainty=unc, run_dir=d)
+        )
+    return records
+
+
+def resolve_nhap(
+    records: Sequence[RunRecord],
+    dev_cutoff: float = 0.02,
+    unc_cutoff: float = 0.1,
+) -> SelectionResult:
+    """Pick (G, run) from a fitted grid.
+
+    Smallest G whose best-replicate deviance improvement over the previous G
+    is below ``dev_cutoff`` (relative), i.e. the elbow of the deviance curve;
+    among the candidates prefers runs whose uncertainty is below
+    ``unc_cutoff`` (falls back to the elbow G regardless).
+    """
+    if not records:
+        raise ValueError("no run records")
+    by_g: Dict[int, RunRecord] = {}
+    for r in records:
+        if r.G not in by_g or r.mean_deviance < by_g[r.G].mean_deviance:
+            by_g[r.G] = r
+    gs = sorted(by_g)
+    chosen = by_g[gs[-1]]
+    prev_dev = None
+    for g in gs:
+        best = by_g[g]
+        if prev_dev is not None:
+            improvement = (prev_dev - best.mean_deviance) / max(abs(prev_dev), 1e-9)
+            if improvement < dev_cutoff:
+                # adding strain g did not help: previous G is the elbow
+                chosen = by_g[prev_g]
+                break
+        prev_dev, prev_g = best.mean_deviance, g
+    if chosen.uncertainty > unc_cutoff:
+        # prefer a smaller G meeting the uncertainty bar, if any
+        for g in gs:
+            if g <= chosen.G and by_g[g].uncertainty <= unc_cutoff:
+                chosen = by_g[g]
+                break
+    return SelectionResult(
+        G=chosen.G, seed=chosen.seed, uncertainty=chosen.uncertainty,
+        mean_deviance=chosen.mean_deviance, records=list(records),
+        run_dir=chosen.run_dir,
+    )

@@ -1,0 +1,62 @@
+"""NMF initialization for the Gibbs sampler.
+
+TPU-native counterpart of the reference's ``desman/Init_NMF.py`` (SURVEY.md
+§2): factorize the base-frequency matrix F[(v,a), s] ~= W H at rank G with
+KL-divergence multiplicative updates (KL matches the multinomial likelihood
+better than Frobenius), then discretize W into an initial tau and normalize H
+into an initial gamma. Fixed iteration count, fully jitted — one fori_loop of
+small matmuls that XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .utils import NBASES, heinsum, normalize_rows
+
+_EPS = 1e-9
+
+
+def _kl_updates(F, W, H, iters):
+    """Multiplicative KL-NMF updates: F ~= W @ H, all entries >= 0."""
+
+    def body(_, carry):
+        W, H = carry
+        WH = jnp.maximum(heinsum("fg,gs->fs", W, H), _EPS)
+        # H update: H <- H * (W^T (F/WH)) / (W^T 1)
+        H = H * heinsum("fg,fs->gs", W, F / WH) / jnp.maximum(
+            jnp.sum(W, axis=0)[:, None], _EPS
+        )
+        WH = jnp.maximum(heinsum("fg,gs->fs", W, H), _EPS)
+        # W update: W <- W * ((F/WH) H^T) / (1 H^T)
+        W = W * heinsum("fs,gs->fg", F / WH, H) / jnp.maximum(
+            jnp.sum(H, axis=1)[None, :], _EPS
+        )
+        return W, H
+
+    return jax.lax.fori_loop(0, iters, body, (W, H))
+
+
+def nmf_init(
+    counts: jax.Array, G: int, key: jax.Array, iters: int = 300
+):
+    """Initial (tau_idx [V,G], gamma [S,G]) from rank-G NMF of base frequencies.
+
+    counts: [V,S,4] float. Random uniform W/H init from `key` so different
+    chain seeds explore different NMF basins (the reference's multi-restart
+    replicates, SURVEY.md §2 Init_NMF).
+    """
+    V, S, _ = counts.shape
+    cov = jnp.maximum(jnp.sum(counts, axis=2, keepdims=True), 1.0)
+    freq = counts / cov                                  # [V,S,4]
+    F = jnp.transpose(freq, (0, 2, 1)).reshape(V * NBASES, S)
+
+    kw, kh = jax.random.split(key)
+    W = jax.random.uniform(kw, (V * NBASES, G), minval=0.1, maxval=1.0)
+    H = jax.random.uniform(kh, (G, S), minval=0.1, maxval=1.0)
+    W, H = _kl_updates(F, W, H, iters)
+
+    tau_probs = normalize_rows(W.reshape(V, NBASES, G).transpose(0, 2, 1))  # [V,G,4]
+    tau_idx = jnp.argmax(tau_probs, axis=-1).astype(jnp.int32)
+    gamma = normalize_rows(H.T)                                             # [S,G]
+    return tau_idx, gamma

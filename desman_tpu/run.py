@@ -1,0 +1,147 @@
+"""End-to-end run driver: counts -> sampler -> DESMAN-format output dir.
+
+The TPU-native equivalent of the reference's ``bin/desman`` main path
+(SURVEY.md §3.1): load the counts CSV, optionally subsample positions (-r)
+and apply min coverage (-m), run the Gibbs sampler (optionally with a fixed
+eta from the filter's tran_df, -e), and write the output directory the
+downstream tooling (resolvenhap / validateSNP equivalents) consumes:
+fit.txt, Gamma_{mean,star}.csv, Eta_{mean,star}.csv, Filtered_Tau_star.csv,
+Tau_mean.csv.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from . import io
+from .sampler import (
+    SamplerConfig, SamplerResult, deviance_from_loglik, run_chain, total_coeff,
+)
+
+
+@dataclass
+class RunConfig:
+    """Host-side run options (the reference CLI's flag surface, SURVEY.md §8)."""
+
+    G: int                           # -g number of strains
+    iterations: int = 250            # -i total sweeps (burn = half, like burn+sample split)
+    seed: int = 0                    # -s
+    eta_file: Optional[str] = None   # -e tran_df.csv (fixes eta unless sample_eta)
+    sample_eta: bool = False         # sample eta even when eta_file seeds it
+    min_coverage: float = 0.0        # -m drop positions below this total coverage
+    n_positions: int = 0             # -r random position subsample (0 = all)
+    out_dir: str = "desman_out"      # -o
+    burn_frac: float = 0.5
+    kappa_gamma: float = 100.0
+    kappa_eta: float = 1000.0
+
+
+def prepare_data(
+    data: io.CountsData, min_coverage: float, n_positions: int, seed: int
+) -> io.CountsData:
+    """Coverage gate + optional random subsample of positions (reference -r/-m)."""
+    keep = data.counts.sum(axis=(1, 2)) >= min_coverage
+    data = data.select(np.flatnonzero(keep))
+    if n_positions and data.V > n_positions:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(data.V, size=n_positions, replace=False))
+        data = data.select(idx)
+    return data
+
+
+def sampler_config(rc: RunConfig) -> SamplerConfig:
+    burn = int(rc.iterations * rc.burn_frac)
+    return SamplerConfig(
+        G=rc.G,
+        burn=burn,
+        samples=rc.iterations - burn,
+        kappa_gamma=rc.kappa_gamma,
+        kappa_eta=rc.kappa_eta,
+        fix_eta=(rc.eta_file is not None and not rc.sample_eta),
+    )
+
+
+def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
+    """Execute one chain and write the output directory. Returns the result."""
+    import jax.numpy as jnp
+
+    from .sampler import tau_sweep_xla
+
+    data = prepare_data(data, rc.min_coverage, rc.n_positions, rc.seed)
+    cfg = sampler_config(rc)
+    eta_init = None
+    if rc.eta_file:
+        eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+
+    n = jnp.asarray(data.counts, jnp.float32)
+    t0 = time.time()
+    res = run_chain(
+        n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
+        tau_sweep=tau_sweep or tau_sweep_xla,
+    )
+    jax.block_until_ready(res.loglik_trace)
+    elapsed = time.time() - t0
+
+    write_outputs(rc.out_dir, data, res, cfg, elapsed)
+    return res
+
+
+def write_outputs(
+    out_dir: str,
+    data: io.CountsData,
+    res: SamplerResult,
+    cfg: SamplerConfig,
+    elapsed: Optional[float] = None,
+) -> None:
+    """Write the DESMAN-compatible output file set (SURVEY.md §8)."""
+    io.ensure_dir(out_dir)
+    coeff = total_coeff(data.counts)
+    mean_dev = deviance_from_loglik(float(res.mean_loglik), coeff)
+    star_dev = deviance_from_loglik(float(res.star_loglik), coeff)
+
+    io.write_fit_txt(
+        os.path.join(out_dir, "fit.txt"),
+        G=cfg.G, V=data.V, S=data.S,
+        mean_deviance=mean_dev, star_deviance=star_dev,
+        star_loglik=float(res.star_loglik) + coeff,
+    )
+    io.write_gamma_csv(
+        os.path.join(out_dir, "Gamma_mean.csv"), np.asarray(res.gamma_mean), data.samples
+    )
+    io.write_gamma_csv(
+        os.path.join(out_dir, "Gamma_star.csv"), np.asarray(res.gamma_star), data.samples
+    )
+    io.write_eta_csv(os.path.join(out_dir, "Eta_mean.csv"), np.asarray(res.eta_mean))
+    io.write_eta_csv(os.path.join(out_dir, "Eta_star.csv"), np.asarray(res.eta_star))
+    io.write_tau_star_csv(
+        os.path.join(out_dir, "Filtered_Tau_star.csv"),
+        np.asarray(res.tau_star), data.contigs, data.positions,
+    )
+    io.write_tau_mean_csv(
+        os.path.join(out_dir, "Tau_mean.csv"),
+        np.asarray(res.tau_mean), data.contigs, data.positions,
+    )
+    # structured per-run metrics (rebuild's observability upgrade, SURVEY.md §5)
+    metrics = {
+        "G": cfg.G, "V": data.V, "S": data.S,
+        "sweeps": cfg.total_sweeps,
+        "mean_deviance": mean_dev,
+        "star_deviance": star_dev,
+        "accept_gamma": float(res.accept_gamma),
+        "accept_eta": float(res.accept_eta),
+        "final_loglik": float(np.asarray(res.loglik_trace)[-1]),
+        "elapsed_s": elapsed,
+        "sweeps_per_s": (cfg.total_sweeps / elapsed) if elapsed else None,
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    np.savetxt(
+        os.path.join(out_dir, "loglik_trace.csv"),
+        np.asarray(res.loglik_trace), delimiter=",",
+    )

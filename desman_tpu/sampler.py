@@ -1,0 +1,391 @@
+"""The tau/gamma/eta Gibbs sampler as a pure-functional jitted scan.
+
+TPU-first redesign of the reference's ``desman/HaploSNP_Sampler.py`` +
+``desman/sampletau.pyx`` Cython/GSL hot loop (SURVEY.md §2, §3.1). Instead of
+a Python object mutating arrays in place with a GSL RNG stream, the sampler is
+``state -> state``: one sweep =
+
+  1. **tau update** — exact Gibbs. For strain g (sequential over g, the
+     conditional coupling the reference also respects — SURVEY.md §7.3), all V
+     positions in parallel: subtract strain g from the cached true-base
+     mixture M[v,s,a], evaluate the 4 candidate-base conditional log-likelihoods
+     as one fused elementwise+reduction (O(V*S*16)), and draw categoricals via
+     the Gumbel-argmax trick with counter-based `jax.random` keys.
+  2. **gamma update** — MH-within-Gibbs with a Dirichlet(kappa*gamma) random
+     walk proposal, all S samples proposed and accepted *in parallel* (valid:
+     the likelihood factorizes over samples given tau, eta).
+  3. **eta update** — per-row Dirichlet MH against the full likelihood with a
+     diagonal-concentrated Dirichlet prior (skipped when eta is fixed from the
+     filter's tran_df, the reference's ``desman -e`` mode).
+
+The whole run is one ``lax.scan`` over sweeps carrying posterior-mean
+accumulators and the max-likelihood "star" snapshot (the reference's
+``*_star`` ICM aspect). Every reduction over the position axis V is an einsum,
+so under a position-sharded mesh XLA turns them into psums (desman_tpu.parallel).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .likelihood import mixture, per_sample_loglik
+from .nmf import nmf_init
+from .utils import NBASES, heinsum, log_multinomial_coeff, one_hot_tau, safe_log
+
+_GAMMA_FLOOR = 1e-10
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Static hyperparameters (hashable → usable as a jit static arg).
+
+    Mirrors the reference CLI's knobs: G (-g), burn+samples (-i), fix_eta
+    (-e + fixed), seeds handled by the caller (-s). kappa_* are the MH
+    proposal concentrations (SURVEY.md §0.1 gamma/eta updates).
+    """
+
+    G: int
+    burn: int = 100
+    samples: int = 100
+    kappa_gamma: float = 100.0
+    kappa_eta: float = 1000.0
+    proposal_floor: float = 0.1
+    eta_prior_diag: float = 10.0
+    eta_prior_off: float = 1.0
+    fix_eta: bool = False
+    nmf_iters: int = 300
+
+    @property
+    def total_sweeps(self) -> int:
+        return self.burn + self.samples
+
+
+class SamplerState(NamedTuple):
+    """Per-chain carry. mix caches M[v,s,a] = sum_g gamma[s,g] tau[v,g,a]."""
+
+    tau: jax.Array      # int32 [V,G]
+    gamma: jax.Array    # f32 [S,G]
+    eta: jax.Array      # f32 [4,4]
+    mix: jax.Array      # f32 [V,S,4]
+    loglik: jax.Array   # f32 scalar (no multinomial coeff)
+    key: jax.Array
+
+
+class SamplerAccum(NamedTuple):
+    sum_tau: jax.Array      # f32 [V,G,4]
+    sum_gamma: jax.Array    # f32 [S,G]
+    sum_eta: jax.Array      # f32 [4,4]
+    sum_loglik: jax.Array   # f32
+    n_samples: jax.Array    # f32
+    star_loglik: jax.Array  # f32
+    star_tau: jax.Array     # int32 [V,G]
+    star_gamma: jax.Array   # f32 [S,G]
+    star_eta: jax.Array     # f32 [4,4]
+    acc_gamma: jax.Array    # f32 — summed acceptance fraction
+    acc_eta: jax.Array      # f32
+
+
+class SamplerResult(NamedTuple):
+    tau_mean: jax.Array     # [V,G,4] posterior base probabilities
+    tau_star: jax.Array     # [V,G] int
+    gamma_mean: jax.Array
+    gamma_star: jax.Array
+    eta_mean: jax.Array
+    eta_star: jax.Array
+    mean_loglik: jax.Array  # posterior mean loglik (no coeff)
+    star_loglik: jax.Array
+    loglik_trace: jax.Array  # [total_sweeps]
+    accept_gamma: jax.Array  # mean acceptance rate
+    accept_eta: jax.Array
+
+
+def _dirichlet_logpdf(x, alpha):
+    """Row-wise Dirichlet log-density; x, alpha [..., K] -> [...]."""
+    return (
+        jnp.sum((alpha - 1.0) * safe_log(x), axis=-1)
+        + jax.scipy.special.gammaln(jnp.sum(alpha, axis=-1))
+        - jnp.sum(jax.scipy.special.gammaln(alpha), axis=-1)
+    )
+
+
+def _sample_dirichlet(key, alpha):
+    """Dirichlet draw via normalized Gammas, floored away from the boundary."""
+    g = jax.random.gamma(key, alpha)
+    g = jnp.maximum(g, _GAMMA_FLOOR)
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def _loglik(n, mix, eta):
+    """sum n * log(mix @ eta) — fused by XLA into one reduction."""
+    p = heinsum("vsa,ab->vsb", mix, eta)
+    return jnp.sum(n * safe_log(p))
+
+
+# --------------------------------------------------------------------------
+# tau sweep (the reference's Cython+GSL hot loop, SURVEY.md §3.1)
+# --------------------------------------------------------------------------
+
+def tau_sweep_xla(n, tau, mix, gamma, eta, key):
+    """One full-Gibbs sweep over strains; all positions vectorized.
+
+    Sequential fori_loop over g (G is small and the strain conditionals are
+    coupled); per strain one fused O(V*S*16) candidate evaluation and a
+    Gumbel-argmax categorical draw per position.
+    """
+    G = tau.shape[1]
+    V = tau.shape[0]
+
+    def body(g, carry):
+        tau, mix = carry
+        gamma_g = jax.lax.dynamic_slice_in_dim(gamma, g, 1, axis=1)[:, 0]  # [S]
+        tau_g = jax.lax.dynamic_slice_in_dim(tau, g, 1, axis=1)[:, 0]      # [V]
+        oh = one_hot_tau(tau_g)                                            # [V,4]
+        # remove strain g from the mixture
+        rest = mix - gamma_g[None, :, None] * oh[:, None, :]               # [V,S,4]
+        q = heinsum("vsa,ab->vsb", rest, eta)                           # [V,S,4]
+        # candidate c adds gamma[s,g] * eta[c,b]:
+        # cand[v,c] = sum_{s,b} n[v,s,b] * log(q[v,s,b] + gamma[s,g] eta[c,b])
+        terms = safe_log(
+            q[:, :, None, :] + gamma_g[None, :, None, None] * eta[None, None, :, :]
+        )                                                                  # [V,S,C,B]
+        cand = heinsum("vsb,vscb->vc", n, terms)                        # [V,4]
+        gz = jax.random.gumbel(jax.random.fold_in(key, g), (V, NBASES))
+        new_g = jnp.argmax(cand + gz, axis=1).astype(jnp.int32)
+        mix = rest + gamma_g[None, :, None] * one_hot_tau(new_g)[:, None, :]
+        tau = jax.lax.dynamic_update_slice_in_dim(tau, new_g[:, None], g, axis=1)
+        return tau, mix
+
+    return jax.lax.fori_loop(0, G, body, (tau, mix))
+
+
+# --------------------------------------------------------------------------
+# gamma / eta MH updates
+# --------------------------------------------------------------------------
+
+def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key):
+    """Parallel per-sample Dirichlet-random-walk MH (SURVEY.md §0.1)."""
+    k_prop, k_u = jax.random.split(key)
+    alpha_fwd = cfg.kappa_gamma * gamma + cfg.proposal_floor          # [S,G]
+    gamma_prop = _sample_dirichlet(k_prop, alpha_fwd)
+    alpha_rev = cfg.kappa_gamma * gamma_prop + cfg.proposal_floor
+
+    tau_oh = one_hot_tau(tau)                                         # [V,G,4]
+    mix_prop = mixture(tau_oh, gamma_prop)                            # [V,S,4]
+
+    ll_old = heinsum(
+        "vsb->s", n * safe_log(heinsum("vsa,ab->vsb", mix, eta))
+    )
+    ll_new = heinsum(
+        "vsb->s", n * safe_log(heinsum("vsa,ab->vsb", mix_prop, eta))
+    )
+    # symmetric Dirichlet(1) prior on gamma rows -> prior ratio = 0
+    log_ratio = (
+        ll_new - ll_old
+        + _dirichlet_logpdf(gamma, alpha_rev)
+        - _dirichlet_logpdf(gamma_prop, alpha_fwd)
+    )
+    accept = safe_log(jax.random.uniform(k_u, (gamma.shape[0],))) < log_ratio
+    gamma = jnp.where(accept[:, None], gamma_prop, gamma)
+    mix = jnp.where(accept[None, :, None], mix_prop, mix)
+    return gamma, mix, jnp.mean(accept.astype(jnp.float32))
+
+
+def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key):
+    """Sequential per-row Dirichlet MH on the 4x4 error matrix."""
+    prior_alpha = (
+        jnp.full((NBASES, NBASES), cfg.eta_prior_off)
+        + jnp.eye(NBASES) * (cfg.eta_prior_diag - cfg.eta_prior_off)
+    )
+
+    def body(a, carry):
+        eta, loglik, n_acc = carry
+        ka = jax.random.fold_in(key, a)
+        k_prop, k_u = jax.random.split(ka)
+        row = jax.lax.dynamic_slice_in_dim(eta, a, 1, axis=0)[0]      # [4]
+        alpha_fwd = cfg.kappa_eta * row + cfg.proposal_floor
+        row_prop = _sample_dirichlet(k_prop, alpha_fwd)
+        alpha_rev = cfg.kappa_eta * row_prop + cfg.proposal_floor
+        eta_prop = jax.lax.dynamic_update_slice_in_dim(
+            eta, row_prop[None, :], a, axis=0
+        )
+        ll_new = _loglik(n, mix, eta_prop)
+        prior_row = jax.lax.dynamic_slice_in_dim(prior_alpha, a, 1, axis=0)[0]
+        log_ratio = (
+            ll_new - loglik
+            + jnp.sum((prior_row - 1.0) * (safe_log(row_prop) - safe_log(row)))
+            + _dirichlet_logpdf(row, alpha_rev)
+            - _dirichlet_logpdf(row_prop, alpha_fwd)
+        )
+        accept = safe_log(jax.random.uniform(k_u, ())) < log_ratio
+        eta = jnp.where(accept, eta_prop, eta)
+        loglik = jnp.where(accept, ll_new, loglik)
+        return eta, loglik, n_acc + accept.astype(jnp.float32)
+
+    eta, loglik, n_acc = jax.lax.fori_loop(
+        0, NBASES, body, (eta, loglik, jnp.float32(0.0))
+    )
+    return eta, loglik, n_acc / NBASES
+
+
+# --------------------------------------------------------------------------
+# full sweep + scan
+# --------------------------------------------------------------------------
+
+def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
+    """Build the (state, accum, sweep_idx) -> (state, accum, loglik) step."""
+
+    def sweep(n, state: SamplerState, accum: SamplerAccum, it):
+        key = jax.random.fold_in(state.key, it)
+        k_tau, k_gamma, k_eta = jax.random.split(key, 3)
+
+        tau, mix = tau_sweep(n, state.tau, state.mix, state.gamma, state.eta, k_tau)
+        gamma, mix, acc_g = gamma_step(cfg, n, tau, mix, state.gamma, state.eta, k_gamma)
+        loglik = _loglik(n, mix, state.eta)
+        if cfg.fix_eta:
+            eta, acc_e = state.eta, jnp.float32(0.0)
+        else:
+            eta, loglik, acc_e = eta_step(cfg, n, mix, state.eta, loglik, k_eta)
+
+        new_state = SamplerState(
+            tau=tau, gamma=gamma, eta=eta, mix=mix, loglik=loglik, key=state.key
+        )
+
+        is_sample = (it >= cfg.burn).astype(jnp.float32)
+        is_star = loglik > accum.star_loglik
+        accum = SamplerAccum(
+            sum_tau=accum.sum_tau + is_sample * one_hot_tau(tau),
+            sum_gamma=accum.sum_gamma + is_sample * gamma,
+            sum_eta=accum.sum_eta + is_sample * eta,
+            sum_loglik=accum.sum_loglik + is_sample * loglik,
+            n_samples=accum.n_samples + is_sample,
+            star_loglik=jnp.where(is_star, loglik, accum.star_loglik),
+            star_tau=jnp.where(is_star, tau, accum.star_tau),
+            star_gamma=jnp.where(is_star, gamma, accum.star_gamma),
+            star_eta=jnp.where(is_star, eta, accum.star_eta),
+            acc_gamma=accum.acc_gamma + acc_g,
+            acc_eta=accum.acc_eta + acc_e,
+        )
+        return new_state, accum, loglik
+
+    return sweep
+
+
+def init_state(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    eta_init: Optional[jax.Array] = None,
+    tau_init: Optional[jax.Array] = None,
+    gamma_init: Optional[jax.Array] = None,
+) -> SamplerState:
+    """NMF-initialized (or user-supplied) chain state. Jit-safe."""
+    k_nmf, k_run = jax.random.split(key)
+    if tau_init is None or gamma_init is None:
+        tau_nmf, gamma_nmf = nmf_init(n, cfg.G, k_nmf, iters=cfg.nmf_iters)
+        tau = tau_nmf if tau_init is None else tau_init
+        gamma = gamma_nmf if gamma_init is None else gamma_init
+    else:
+        tau, gamma = tau_init, gamma_init
+    if eta_init is None:
+        eta = jnp.full((NBASES, NBASES), 0.01 / 3.0) + jnp.eye(NBASES) * (0.99 - 0.01 / 3.0)
+    else:
+        eta = jnp.asarray(eta_init, jnp.float32)
+    mix = mixture(one_hot_tau(tau), gamma)
+    loglik = _loglik(n, mix, eta)
+    return SamplerState(
+        tau=tau.astype(jnp.int32), gamma=gamma.astype(jnp.float32),
+        eta=eta, mix=mix, loglik=loglik, key=k_run,
+    )
+
+
+def init_accum(V: int, S: int, G: int) -> SamplerAccum:
+    return SamplerAccum(
+        sum_tau=jnp.zeros((V, G, NBASES), jnp.float32),
+        sum_gamma=jnp.zeros((S, G), jnp.float32),
+        sum_eta=jnp.zeros((NBASES, NBASES), jnp.float32),
+        sum_loglik=jnp.float32(0.0),
+        n_samples=jnp.float32(0.0),
+        star_loglik=jnp.float32(-jnp.inf),
+        star_tau=jnp.zeros((V, G), jnp.int32),
+        star_gamma=jnp.zeros((S, G), jnp.float32),
+        star_eta=jnp.zeros((NBASES, NBASES), jnp.float32),
+        acc_gamma=jnp.float32(0.0),
+        acc_eta=jnp.float32(0.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "tau_sweep"))
+def run_chain(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    eta_init: Optional[jax.Array] = None,
+    tau_init: Optional[jax.Array] = None,
+    gamma_init: Optional[jax.Array] = None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """Run one chain end-to-end (init -> scan over sweeps -> summaries).
+
+    n: [V,S,4] float32 counts. Deterministic in (n, cfg, key) by construction
+    (counter-based PRNG) — the same inputs give the same trajectory on any
+    mesh shape (SURVEY.md §7.1).
+    """
+    n = n.astype(jnp.float32)
+    V, S, _ = n.shape
+    state = init_state(n, cfg, key, eta_init, tau_init, gamma_init)
+    accum = init_accum(V, S, cfg.G)
+    sweep = make_sweep_fn(cfg, tau_sweep)
+
+    def step(carry, it):
+        state, accum = carry
+        state, accum, ll = sweep(n, state, accum, it)
+        return (state, accum), ll
+
+    (state, accum), trace = jax.lax.scan(
+        step, (state, accum), jnp.arange(cfg.total_sweeps)
+    )
+
+    n_s = jnp.maximum(accum.n_samples, 1.0)
+    return SamplerResult(
+        tau_mean=accum.sum_tau / n_s,
+        tau_star=accum.star_tau,
+        gamma_mean=accum.sum_gamma / n_s,
+        gamma_star=accum.star_gamma,
+        eta_mean=accum.sum_eta / n_s,
+        eta_star=accum.star_eta,
+        mean_loglik=accum.sum_loglik / n_s,
+        star_loglik=accum.star_loglik,
+        loglik_trace=trace,
+        accept_gamma=accum.acc_gamma / cfg.total_sweeps,
+        accept_eta=accum.acc_eta / cfg.total_sweeps,
+    )
+
+
+def run_chains(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    seeds,
+    eta_init: Optional[jax.Array] = None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """vmap independent chains over seeds (the reference's shell-level
+    replicate fan-out, SURVEY.md §2.2, collapsed into one device program)."""
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in np.asarray(seeds)])
+    fn = lambda k: run_chain(n, cfg, k, eta_init=eta_init, tau_sweep=tau_sweep)
+    return jax.vmap(fn)(keys)
+
+
+def total_coeff(n: np.ndarray) -> float:
+    """Constant multinomial-coefficient term of logL (host-side, once)."""
+    return float(
+        jax.device_get(jnp.sum(log_multinomial_coeff(jnp.asarray(n, jnp.float32))))
+    )
+
+
+def deviance_from_loglik(loglik: float, coeff: float) -> float:
+    return -2.0 * (loglik + coeff)

@@ -1,0 +1,77 @@
+"""Synthetic metagenome generator for tests and benchmarks.
+
+Draws (tau, gamma, eta) from the DESMAN generative model (SURVEY.md §0.1) and
+samples a variant-count tensor — the posterior-recovery test bed the reference
+lacks (its only tests were the bundled TestData quickstart and the E. coli
+mock; SURVEY.md §4). Host-side numpy: data generation is not a hot path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .io import CountsData
+from .utils import NBASES
+
+
+@dataclass
+class SynthTruth:
+    tau_idx: np.ndarray    # [V,G] int
+    gamma: np.ndarray      # [S,G] rows on simplex
+    eta: np.ndarray        # [4,4] row-stochastic
+    data: CountsData
+
+
+def make_eta(error_rate: float = 0.01) -> np.ndarray:
+    """Near-diagonal base-transition matrix with uniform off-diagonal error."""
+    eta = np.full((NBASES, NBASES), error_rate / (NBASES - 1))
+    np.fill_diagonal(eta, 1.0 - error_rate)
+    return eta
+
+
+def generate(
+    V: int = 200,
+    S: int = 16,
+    G: int = 3,
+    coverage: float = 50.0,
+    error_rate: float = 0.01,
+    gamma_alpha: float = 1.0,
+    seed: int = 0,
+    ensure_variant: bool = True,
+) -> SynthTruth:
+    """Sample a dataset from the model.
+
+    coverage: mean per-(position,sample) read depth (Poisson).
+    ensure_variant: resample tau rows where all strains agree, so every
+    position is a true variant (matches the post-filter input the sampler
+    sees in the reference pipeline).
+    """
+    rng = np.random.default_rng(seed)
+    tau = rng.integers(0, NBASES, size=(V, G))
+    if ensure_variant and G > 1:
+        same = (tau == tau[:, :1]).all(axis=1)
+        while same.any():
+            tau[same] = rng.integers(0, NBASES, size=(int(same.sum()), G))
+            same = (tau == tau[:, :1]).all(axis=1)
+    gamma = rng.dirichlet(np.full(G, gamma_alpha), size=S)
+    eta = make_eta(error_rate)
+
+    onehot = np.eye(NBASES)[tau]                      # [V,G,4]
+    mix = np.einsum("vga,sg->vsa", onehot, gamma)     # [V,S,4]
+    p = mix @ eta                                     # [V,S,4]
+
+    depth = rng.poisson(coverage, size=(V, S))
+    counts = np.zeros((V, S, NBASES), dtype=np.int32)
+    for v in range(V):
+        for s in range(S):
+            if depth[v, s] > 0:
+                counts[v, s] = rng.multinomial(depth[v, s], p[v, s])
+
+    data = CountsData(
+        counts=counts,
+        contigs=np.array(["synth"] * V),
+        positions=np.arange(V),
+        samples=[f"Sample{s}" for s in range(S)],
+    )
+    return SynthTruth(tau_idx=tau.astype(np.int32), gamma=gamma, eta=eta, data=data)

@@ -1,0 +1,85 @@
+"""Posterior-recovery tests for the Gibbs sampler (SURVEY.md §4 implication:
+property tests on synthetic data with known tau/gamma/eta — a stronger
+standard than the reference's run-and-eyeball smoke test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from desman_tpu import synth, utils
+from desman_tpu.sampler import (
+    SamplerConfig, run_chain, run_chains, total_coeff, deviance_from_loglik,
+)
+
+
+@pytest.fixture(scope="module")
+def fitted(small_synth):
+    t = small_synth
+    cfg = SamplerConfig(G=3, burn=80, samples=80, nmf_iters=200)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    res = run_chain(n, cfg, jax.random.PRNGKey(0), eta_init=jnp.asarray(t.eta, jnp.float32))
+    return t, res
+
+
+def test_recovers_tau(fitted):
+    t, res = fitted
+    tau_star = np.asarray(res.tau_star)
+    dist = utils.snp_distance_perm(t.tau_idx, tau_star)
+    # 120 positions x 3 strains = 360 calls; allow a small handful of misses
+    assert dist <= 6, f"SNP distance {dist} too high"
+
+
+def test_recovers_gamma(fitted):
+    t, res = fitted
+    err, _ = utils.match_gamma_perm(t.gamma, np.asarray(res.gamma_mean))
+    assert err < 0.03, f"gamma MAE {err} too high"
+
+
+def test_loglik_improves_and_star_is_max(fitted):
+    _, res = fitted
+    trace = np.asarray(res.loglik_trace)
+    assert trace[-1] > trace[0]
+    assert np.isclose(float(res.star_loglik), trace.max(), rtol=1e-5)
+
+
+def test_acceptance_rates_sane(fitted):
+    _, res = fitted
+    # eta fixed is False here only if eta sampled; gamma MH should move
+    assert 0.01 < float(res.accept_gamma) <= 1.0
+
+
+def test_deterministic_given_key(small_synth):
+    t = small_synth
+    cfg = SamplerConfig(G=2, burn=5, samples=5, nmf_iters=50)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    r1 = run_chain(n, cfg, jax.random.PRNGKey(7))
+    r2 = run_chain(n, cfg, jax.random.PRNGKey(7))
+    assert np.array_equal(np.asarray(r1.tau_star), np.asarray(r2.tau_star))
+    assert np.allclose(np.asarray(r1.loglik_trace), np.asarray(r2.loglik_trace))
+
+
+def test_chains_vmap(small_synth):
+    t = small_synth
+    cfg = SamplerConfig(G=2, burn=5, samples=5, nmf_iters=50)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    res = run_chains(n, cfg, seeds=[0, 1, 2])
+    assert res.gamma_mean.shape == (3, t.data.S, 2)
+    assert res.loglik_trace.shape == (3, 10)
+    # chains with different seeds should differ
+    assert not np.allclose(res.loglik_trace[0], res.loglik_trace[1])
+
+
+def test_fix_eta(small_synth):
+    t = small_synth
+    cfg = SamplerConfig(G=2, burn=5, samples=5, fix_eta=True, nmf_iters=50)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    eta0 = jnp.asarray(t.eta, jnp.float32)
+    res = run_chain(n, cfg, jax.random.PRNGKey(0), eta_init=eta0)
+    assert np.allclose(np.asarray(res.eta_star), t.eta, atol=1e-6)
+
+
+def test_deviance_helpers(small_synth):
+    t = small_synth
+    coeff = total_coeff(t.data.counts)
+    d = deviance_from_loglik(-1000.0, coeff)
+    assert d == -2.0 * (-1000.0 + coeff)
