@@ -1,0 +1,251 @@
+"""Command-line entry points (the reference's L3 layer, SURVEY.md §1).
+
+Four subcommands mirroring the reference's CLI surface and flag semantics
+(SURVEY.md §8: ``bin/desman``'s -g/-e/-o/-i/-s/-r/-m, the filter CLI, the
+GeneAssign CLI, and resolvenhap):
+
+    python -m desman_tpu.cli desman     counts.csv -g 5 -e tran_df.csv -o out -i 250 -s 0
+    python -m desman_tpu.cli filter     counts.csv -o stub -m 5 -q 0.05
+    python -m desman_tpu.cli geneassign -g out/Gamma_mean.csv -c gene_cov.csv -o stub
+    python -m desman_tpu.cli resolvenhap out_stub_*  -o best.txt
+
+Exact reference flag letters are [M] (mount was empty — SURVEY.md §9.5);
+semantics follow the published usage. Long options are provided for all.
+"""
+from __future__ import annotations
+
+import argparse
+import glob as globlib
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _desman(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman", description="Strain deconvolution (tau/gamma/eta Gibbs sampler)"
+    )
+    ap.add_argument("variant_file", help="counts CSV: Contig,Position,<sample>-A..T")
+    ap.add_argument("-g", "--num_strains", type=int, required=True)
+    ap.add_argument("-e", "--eta_file", default=None,
+                    help="tran_df.csv from the filter; fixes eta unless --sample_eta")
+    ap.add_argument("-o", "--output_dir", default="desman_out")
+    ap.add_argument("-i", "--iterations", type=int, default=250)
+    ap.add_argument("-s", "--seed", type=int, default=0)
+    ap.add_argument("-r", "--random_positions", type=int, default=0,
+                    help="subsample this many positions (0 = all)")
+    ap.add_argument("-m", "--min_coverage", type=float, default=0.0)
+    ap.add_argument("--sample_eta", action="store_true",
+                    help="sample eta even when -e seeds it")
+    ap.add_argument("--chains", type=int, default=1,
+                    help="vmapped chains (seeds seed..seed+chains-1); best by "
+                    "star likelihood is written")
+    ap.add_argument("--kappa_gamma", type=float, default=100.0)
+    ap.add_argument("--kappa_eta", type=float, default=1000.0)
+    args = ap.parse_args(argv)
+
+    from . import io
+    from .run import RunConfig, run, run_multi
+
+    data = io.read_counts_csv(args.variant_file)
+    rc = RunConfig(
+        G=args.num_strains, iterations=args.iterations, seed=args.seed,
+        eta_file=args.eta_file, sample_eta=args.sample_eta,
+        min_coverage=args.min_coverage, n_positions=args.random_positions,
+        out_dir=args.output_dir, kappa_gamma=args.kappa_gamma,
+        kappa_eta=args.kappa_eta,
+    )
+    if args.chains > 1:
+        run_multi(data, rc, n_chains=args.chains)
+    else:
+        run(data, rc)
+    print(f"desman: wrote {args.output_dir}/fit.txt")
+    return 0
+
+
+def _filter(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-filter", description="Variant-position LLR filter"
+    )
+    ap.add_argument("counts_file")
+    ap.add_argument("-o", "--output_stub", default="filtered_")
+    ap.add_argument("-m", "--min_coverage", type=float, default=5.0)
+    ap.add_argument("-q", "--q_cutoff", type=float, default=0.05)
+    ap.add_argument("-f", "--max_iterations", type=int, default=8,
+                    help="outer eta re-estimation rounds")
+    ap.add_argument("--chi2_df", type=float, default=1.0)
+    args = ap.parse_args(argv)
+
+    from . import io
+    from .filter import FilterConfig, filter_variants
+
+    data = io.read_counts_csv(args.counts_file)
+    cfg = FilterConfig(
+        min_coverage=args.min_coverage, q_cutoff=args.q_cutoff,
+        max_outer_iters=args.max_iterations, chi2_df=args.chi2_df,
+    )
+    res = filter_variants(data, cfg)
+
+    stub = args.output_stub
+    sel = data.select(np.flatnonzero(res.selected))
+    io.write_counts_csv(stub + "sel_var.csv", sel)
+    io.write_eta_csv(stub + "tran_df.csv", res.eta)
+    import pandas as pd
+
+    pos_df = {"Contig": data.contigs, "Position": data.positions}
+    pd.DataFrame({**pos_df, "p": res.pvalues}).to_csv(stub + "p_df.csv", index=False)
+    pd.DataFrame({**pos_df, "q": res.qvalues}).to_csv(stub + "q_df.csv", index=False)
+    with open(stub + "log_file.txt", "w") as f:
+        f.write(
+            f"positions={data.V} selected={int(res.selected.sum())} "
+            f"outer_iters={res.n_outer_iters}\n"
+        )
+    print(
+        f"filter: {int(res.selected.sum())}/{data.V} variants -> {stub}sel_var.csv"
+    )
+    return 0
+
+
+def _geneassign(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-geneassign", description="Assign accessory genes to strains"
+    )
+    ap.add_argument("-g", "--gamma_file", required=True, help="Gamma_mean.csv")
+    ap.add_argument("-c", "--gene_cov_file", required=True,
+                    help="CSV: gene name + per-sample mean coverage columns")
+    ap.add_argument("-t", "--total_cov_file", default=None,
+                    help="CSV: per-sample total bin coverage (one row per sample); "
+                    "default: derived from --core_counts")
+    ap.add_argument("--core_counts", default=None,
+                    help="core counts CSV to derive per-sample total coverage")
+    ap.add_argument("-o", "--output_stub", default="geneassign_")
+    ap.add_argument("-m", "--max_copy", type=int, default=1)
+    ap.add_argument("--model", choices=["quasipoisson", "gaussian"],
+                    default="quasipoisson")
+    args = ap.parse_args(argv)
+
+    import pandas as pd
+
+    from . import io
+    from .geneassign import (
+        GeneAssignConfig, assign_genes, sample_total_coverage, strain_coverage,
+    )
+
+    gamma = io.read_gamma_csv(args.gamma_file)          # [S,G]
+    gdf = pd.read_csv(args.gene_cov_file, index_col=0)  # [D,S]
+    gene_cov = gdf.to_numpy(dtype=np.float64)
+    if args.total_cov_file:
+        total = pd.read_csv(args.total_cov_file, index_col=0).to_numpy().ravel()
+    elif args.core_counts:
+        total = sample_total_coverage(io.read_counts_csv(args.core_counts).counts)
+    else:
+        # fall back: total coverage ~ mean gene coverage per sample
+        total = gene_cov.mean(axis=0)
+    cov = strain_coverage(gamma, total)                 # [G,S]
+
+    res = assign_genes(gene_cov, cov, GeneAssignConfig(
+        max_copy=args.max_copy, model=args.model,
+    ))
+    stub = args.output_stub
+    G = gamma.shape[1]
+    cols = [f"H{g + 1}" for g in range(G)]
+    pd.DataFrame(np.asarray(res.eta_star), index=gdf.index, columns=cols).to_csv(
+        stub + "etaS_df.csv"
+    )
+    pd.DataFrame(np.asarray(res.presence_prob), index=gdf.index, columns=cols).to_csv(
+        stub + "etaP_df.csv"
+    )
+    pd.DataFrame(
+        {"loglik": np.asarray(res.loglik), "confidence": np.asarray(res.confidence)},
+        index=gdf.index,
+    ).to_csv(stub + "eta_conf.csv")
+    print(f"geneassign: {gene_cov.shape[0]} genes x {G} strains -> {stub}etaS_df.csv")
+    return 0
+
+
+def _resolvenhap(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-resolvenhap",
+        description="Pick the number of strains from a grid of run dirs",
+    )
+    ap.add_argument("run_dirs", nargs="+",
+                    help="run output dirs (globs ok), e.g. out_stub_*")
+    ap.add_argument("-d", "--dev_cutoff", type=float, default=0.02,
+                    help="relative deviance-improvement elbow cutoff")
+    ap.add_argument("-u", "--unc_cutoff", type=float, default=0.1)
+    ap.add_argument("-o", "--output_file", default=None)
+    args = ap.parse_args(argv)
+
+    from .model_selection import resolve_nhap, scan_run_dirs
+
+    dirs = []
+    for pat in args.run_dirs:
+        hits = sorted(globlib.glob(pat))
+        dirs.extend(hits if hits else [pat])
+    dirs = [d for d in dirs if os.path.isfile(os.path.join(d, "fit.txt"))]
+    if not dirs:
+        print("resolvenhap: no run dirs with fit.txt", file=sys.stderr)
+        return 1
+    records = scan_run_dirs(dirs)
+    sel = resolve_nhap(records, dev_cutoff=args.dev_cutoff,
+                       unc_cutoff=args.unc_cutoff)
+    line = sel.summary_line()
+    print("G,seed,uncertainty,mean_deviance,run_dir")
+    print(line)
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            f.write("G,seed,uncertainty,mean_deviance,run_dir\n" + line + "\n")
+    return 0
+
+
+def _validate(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-validate",
+        description="Permutation-matched SNP error vs ground truth "
+        "(validateSNP/taucomp equivalent)",
+    )
+    ap.add_argument("-p", "--pred_tau", required=True,
+                    help="predicted Filtered_Tau_star.csv")
+    ap.add_argument("-t", "--true_tau", required=True,
+                    help="ground-truth tau CSV (same format)")
+    ap.add_argument("--pred_gamma", default=None)
+    ap.add_argument("--true_gamma", default=None)
+    args = ap.parse_args(argv)
+
+    from .validation import validate_files
+
+    rep = validate_files(args.pred_tau, args.true_tau,
+                         args.pred_gamma, args.true_gamma)
+    hdr = "positions,pred_strains,snp_errors,error_rate"
+    if rep.gamma_mae is not None:
+        hdr += ",gamma_mae"
+    print(hdr)
+    print(rep.summary_line())
+    return 0
+
+
+_COMMANDS = {
+    "desman": _desman,
+    "filter": _filter,
+    "geneassign": _geneassign,
+    "resolvenhap": _resolvenhap,
+    "validate": _validate,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0 if argv else 1
+    cmd = argv[0]
+    if cmd not in _COMMANDS:
+        print(f"unknown command {cmd!r}; one of {sorted(_COMMANDS)}", file=sys.stderr)
+        return 2
+    return _COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .utils import heinsum, safe_log
+from .utils import NBASES, heinsum, safe_log
 
 _MU_FLOOR = 1e-6
 
@@ -121,7 +121,9 @@ def assign_genes(
             x, c, states, cfg.model, cfg.phi
         )
         return GeneAssignResult(eta_star, presence, copy_mean, ll, conf)
-    return _gibbs_assign(x, c, cfg, key or jax.random.PRNGKey(0))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _gibbs_assign(x, c, cfg, key)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -143,14 +145,16 @@ def _gibbs_assign(x, cov, cfg: GeneAssignConfig, key):
             return (jnp.sum(xd * safe_log(mu)) - jnp.sum(mu)) / cfg.phi
         return -jnp.sum((xd - mu) ** 2) / (2.0 * cfg.phi)
 
-    def strain_update(g, carry, xd, k):
+    def strain_update(g, carry, xd, k, temp):
         eta_d, mu = carry                                   # [G], [S]
         base = mu - eta_d[g] * cov[g]                       # remove strain g
         cand_mu = base[None, :] + copies[:, None] * cov[g][None, :]   # [C,S]
         cand_ll = jax.vmap(lambda m: gene_ll(xd, m))(cand_mu)         # [C]
         gz = jax.random.gumbel(jax.random.fold_in(k, g), (C,))
-        new = jnp.argmax(cand_ll + gz).astype(jnp.float32)
+        new = jnp.argmax(cand_ll + temp * gz).astype(jnp.float32)
         return eta_d.at[g].set(new), base + new * cov[g]
+
+    anneal = max(cfg.gibbs_sweeps // 2, 1)
 
     def run_gene(xd, kd):
         eta0 = jnp.zeros((G,), jnp.float32)
@@ -159,8 +163,11 @@ def _gibbs_assign(x, cov, cfg: GeneAssignConfig, key):
         def sweep(carry, it):
             eta_d, mu, acc, best_ll, best_eta = carry
             k = jax.random.fold_in(kd, it)
+            # annealed tempering (see assign_gene_tau): escape the local
+            # optima a cold-started near-deterministic Gibbs freezes into
+            temp = jnp.maximum(1.0, 30.0 ** (1.0 - it / anneal))
             eta_d, mu = jax.lax.fori_loop(
-                0, G, lambda g, c: strain_update(g, c, xd, k), (eta_d, mu)
+                0, G, lambda g, c: strain_update(g, c, xd, k, temp), (eta_d, mu)
             )
             ll = gene_ll(xd, mu)
             better = ll > best_ll
@@ -191,14 +198,17 @@ def assign_gene_tau(
     eta: np.ndarray,
     sweeps: int = 50,
     seed: int = 0,
+    state_cap: int = 4096,
 ):
     """Assign gene-level SNVs to strains with gamma/eta frozen (the reference's
-    ``--assign_tau`` mode, SURVEY.md §0.1): Gibbs over tau only, returning
-    (tau_star [V,G], tau_mean [V,G,4])."""
-    from .sampler import tau_sweep_xla
-    from .likelihood import mixture
-    from .utils import one_hot_tau
+    ``--assign_tau`` mode, SURVEY.md §0.1). Returns (tau_star [V,G],
+    tau_mean [V,G,4]).
 
+    With gamma/eta fixed, positions are fully independent, so for
+    4^G <= state_cap (G <= 6) the 4^G joint base assignments are enumerated
+    exactly — exact MAP + exact posterior, where the reference's per-site
+    MCMC can freeze in local optima. Larger G falls back to annealed Gibbs.
+    """
     n = jnp.asarray(counts, jnp.float32)
     gamma_j = jnp.asarray(gamma, jnp.float32)
     eta_j = jnp.asarray(eta, jnp.float32)
@@ -206,15 +216,48 @@ def assign_gene_tau(
     V = n.shape[0]
     key = jax.random.PRNGKey(seed)
 
+    if NBASES ** G <= state_cap:
+        states = np.array(
+            list(itertools.product(range(NBASES), repeat=G)), dtype=np.int32
+        )                                                       # [K,G]
+
+        @jax.jit
+        def enumerate_tau():
+            st = jnp.asarray(states)
+            oh = jax.nn.one_hot(st, NBASES)                     # [K,G,4]
+            m = heinsum("kga,sg->ksa", oh, gamma_j)             # [K,S,4]
+            p = heinsum("ksa,ab->ksb", m, eta_j)                # [K,S,4]
+            ll = heinsum("vsb,ksb->vk", n, safe_log(p))         # [V,K]
+            best = jnp.argmax(ll, axis=1)                       # [V]
+            post = jax.nn.softmax(ll, axis=1)                   # [V,K]
+            tau_star = st[best]                                 # [V,G]
+            tau_mean = heinsum("vk,kga->vga", post, oh)         # [V,G,4]
+            return tau_star, tau_mean
+
+        return enumerate_tau()
+
+    from .sampler import tau_sweep_xla
+    from .likelihood import mixture
+    from .utils import one_hot_tau
+
     @jax.jit
     def go():
-        tau0 = jnp.zeros((V, G), jnp.int32)
+        # plurality-base init + annealed tempering: with gamma/eta frozen the
+        # per-site conditionals are near-deterministic, so cold-started
+        # single-site Gibbs freezes into poor local optima; annealing T->1
+        # recovers the MAP reliably (observed: ~45% call errors cold vs ~0
+        # annealed on synthetic data).
+        plurality = jnp.argmax(jnp.sum(n, axis=1), axis=-1).astype(jnp.int32)  # [V]
+        tau0 = jnp.tile(plurality[:, None], (1, G))
         mix0 = mixture(one_hot_tau(tau0), gamma_j)
+        anneal = sweeps // 2
 
         def body(carry, it):
             tau, mix, acc = carry
             k = jax.random.fold_in(key, it)
-            tau, mix = tau_sweep_xla(n, tau, mix, gamma_j, eta_j, k)
+            # geometric T: ~30 at it=0 -> 1 at it=anneal, then exact Gibbs
+            temp = jnp.maximum(1.0, 30.0 ** (1.0 - it / jnp.maximum(anneal, 1)))
+            tau, mix = tau_sweep_xla(n, tau, mix, gamma_j, eta_j, k, temp=temp)
             acc = acc + jnp.where(it >= sweeps // 2, one_hot_tau(tau), 0.0)
             return (tau, mix, acc), None
 

@@ -62,13 +62,23 @@ class CountsData:
         )
 
 
-def read_counts_csv(path: str) -> CountsData:
+def read_counts_csv(path: str, prefer_native: bool = True) -> CountsData:
     """Read a DESMAN variant-count CSV into a dense [V,S,4] tensor.
 
     Accepts the reference header convention ``<sample>-A`` (also tolerates
     ``<sample>.A`` / ``<sample>_A``). The first two columns are
-    ``Contig,Position`` (any capitalization).
+    ``Contig,Position`` (any capitalization). Uses the C++ reader
+    (desman_tpu.native, ~10x faster) when its library is available; format
+    errors fall through to the pandas path so messages stay uniform.
     """
+    if prefer_native:
+        try:
+            from . import native
+
+            if native.available():
+                return native.read_counts_csv_native(path)
+        except (ValueError, OSError):
+            pass  # fall back to the pandas reader (and its error reporting)
     df = pd.read_csv(path)
     cols = list(df.columns)
     if len(cols) < 2 + NBASES:

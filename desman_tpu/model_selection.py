@@ -128,10 +128,13 @@ def resolve_nhap(
 ) -> SelectionResult:
     """Pick (G, run) from a fitted grid.
 
-    Smallest G whose best-replicate deviance improvement over the previous G
-    is below ``dev_cutoff`` (relative), i.e. the elbow of the deviance curve;
-    among the candidates prefers runs whose uncertainty is below
-    ``unc_cutoff`` (falls back to the elbow G regardless).
+    Scree rule: with D(G) the best-replicate posterior mean deviance,
+    the explained span is D(Gmin) - min_G D(G); choose the smallest G whose
+    explained fraction (D(Gmin) - D(G)) / span reaches 1 - dev_cutoff.
+    More robust than successive-improvement elbows: posterior mean deviance
+    keeps creeping down past the true G (overfitting), but the remaining
+    improvement is a small fraction of the total span. Prefers a smaller G
+    meeting the ``unc_cutoff`` SNV-uncertainty bar when the choice misses it.
     """
     if not records:
         raise ValueError("no run records")
@@ -140,17 +143,18 @@ def resolve_nhap(
         if r.G not in by_g or r.mean_deviance < by_g[r.G].mean_deviance:
             by_g[r.G] = r
     gs = sorted(by_g)
-    chosen = by_g[gs[-1]]
-    prev_dev = None
-    for g in gs:
-        best = by_g[g]
-        if prev_dev is not None:
-            improvement = (prev_dev - best.mean_deviance) / max(abs(prev_dev), 1e-9)
-            if improvement < dev_cutoff:
-                # adding strain g did not help: previous G is the elbow
-                chosen = by_g[prev_g]
+    d0 = by_g[gs[0]].mean_deviance
+    span = d0 - min(by_g[g].mean_deviance for g in gs)
+    if span <= dev_cutoff * abs(d0):
+        # deviance is flat across G: no extra strains are supported
+        chosen = by_g[gs[0]]
+    else:
+        chosen = by_g[gs[-1]]
+        for g in gs:
+            explained = (d0 - by_g[g].mean_deviance) / max(span, 1e-9)
+            if explained >= 1.0 - dev_cutoff:
+                chosen = by_g[g]
                 break
-        prev_dev, prev_g = best.mean_deviance, g
     if chosen.uncertainty > unc_cutoff:
         # prefer a smaller G meeting the uncertainty bar, if any
         for g in gs:

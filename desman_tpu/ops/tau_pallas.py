@@ -1,0 +1,187 @@
+"""Fused Pallas kernel for the tau Gibbs sweep — the framework's hot loop.
+
+The XLA path (sampler.tau_sweep_xla) round-trips the [V,S,4] mixture through
+HBM once per strain (G reads + G writes per sweep). This kernel runs the
+ENTIRE sweep — all G strains' conditional updates — inside one kernel
+invocation per position tile: the counts tile and mixture tile live in VMEM
+across the whole strain loop, so HBM traffic drops to one read of (n, mix)
+and one write of (mix, tau) per sweep, and the per-candidate
+log-likelihood reduction fuses with the categorical draw.
+
+Layout: base-major flattening [V, 4*S] (lane index = a*S + s). The error-
+matrix contraction q[.,b] = sum_a rest[.,a] * eta[a,b] then becomes 16
+static lane-block multiply-adds — no in-kernel reshapes or gathers, which
+TPU tiling cannot do cheaply (pallas_guide.md 'Tiling Constraints').
+
+Randomness: Gumbel noise is drawn OUTSIDE with the same
+``fold_in(key, g)`` scheme as the XLA path, so both paths sample identical
+categorical draws up to float-associativity of the candidate scores
+(equivalence tested in tests/test_pallas.py).
+
+Reference parity: this replaces DESMAN's only native component, the
+``sampletau`` Cython+GSL extension (SURVEY.md §2.1).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import NBASES
+
+
+def _kernel(n_ref, mix_ref, tau_ref, gz_ref, add_ref, gtile_ref, eta_ref,
+            tau_out_ref, mix_out_ref, *, G: int, S: int):
+    """One full tau sweep for a [Vt, 4*S] tile.
+
+    n_ref, mix_ref: [Vt, 4*S] base-major counts / mixture tile.
+    tau_ref:  [Vt, G] int32 current calls.
+    gz_ref:   [Vt, G*4] Gumbel noise (already scaled by temperature).
+    add_ref:  [G, 4*4*S] candidate add-terms, add[g, c*4S + b*S + s]
+              = gamma[s,g] * eta[c,b].
+    gtile_ref:[G, 4*S] gamma tiled over the base axis, gtile[g, a*S+s]
+              = gamma[s,g].
+    eta_ref:  [4, 4] error matrix (row a = true base).
+    Outputs: updated tau and mixture tiles.
+    """
+    n = n_ref[:]                                   # [Vt, 4S]
+    mix = mix_ref[:]
+    Vt = n.shape[0]
+    lane_base = jax.lax.broadcasted_iota(jnp.int32, (Vt, NBASES * S), 1) // S
+
+    new_tau_cols = []
+    for g in range(G):
+        tau_g = tau_ref[:, g]                      # [Vt] int32
+        gam_g = gtile_ref[g, :][None, :]           # [1, 4S]
+        oh = (lane_base == tau_g[:, None]).astype(jnp.float32)
+        rest = mix - gam_g * oh                    # [Vt, 4S]
+
+        # q[., b*S+s] = sum_a rest[., a*S+s] * eta[a, b]
+        q_blocks = []
+        for b in range(NBASES):
+            acc = rest[:, 0:S] * eta_ref[0, b]
+            for a in range(1, NBASES):
+                acc = acc + rest[:, a * S:(a + 1) * S] * eta_ref[a, b]
+            q_blocks.append(acc)
+        q = jnp.concatenate(q_blocks, axis=1)      # [Vt, 4S]
+
+        # candidate scores: cand[v,c] = sum_l n * log(q + add[g,c,:])
+        cand_cols = []
+        for c in range(NBASES):
+            add_c = add_ref[g, c * NBASES * S:(c + 1) * NBASES * S][None, :]
+            term = n * jnp.log(jnp.maximum(q + add_c, 1e-12))
+            cand_cols.append(jnp.sum(term, axis=1, keepdims=True))
+        cand = jnp.concatenate(cand_cols, axis=1)  # [Vt, 4]
+
+        scores = cand + gz_ref[:, g * NBASES:(g + 1) * NBASES]
+        new_g = jnp.argmax(scores, axis=1).astype(jnp.int32)   # [Vt]
+
+        oh_new = (lane_base == new_g[:, None]).astype(jnp.float32)
+        mix = rest + gam_g * oh_new
+        new_tau_cols.append(new_g[:, None])
+
+    tau_out_ref[:] = jnp.concatenate(new_tau_cols, axis=1)
+    mix_out_ref[:] = mix
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta, interpret=False):
+    """Run the kernel on base-major [V,4S] arrays. V must be tile-aligned."""
+    V, lanes = n_bm.shape
+    G = tau.shape[1]
+    S = lanes // NBASES
+    Vt = min(V, 512)
+    assert V % Vt == 0
+
+    # host-side precomputed tables (tiny): add[g, c, b, s], gtile[g, a, s]
+    add = jnp.einsum("sg,cb->gcbs", gamma, eta).reshape(G, NBASES * NBASES * S)
+    gtile = jnp.broadcast_to(
+        gamma.T[:, None, :], (G, NBASES, S)
+    ).reshape(G, NBASES * S)
+
+    kernel = functools.partial(_kernel, G=G, S=S)
+    grid = (V // Vt,)
+    tile = lambda r: pl.BlockSpec((Vt, r), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+
+    tau_out, mix_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tile(lanes),                    # n
+            tile(lanes),                    # mix
+            tile(G),                        # tau
+            tile(G * NBASES),               # gz
+            full((G, NBASES * NBASES * S)),  # add
+            full((G, NBASES * S)),          # gtile
+            full((NBASES, NBASES)),         # eta
+        ],
+        out_specs=[tile(G), tile(lanes)],
+        out_shape=[
+            jax.ShapeDtypeStruct((V, G), jnp.int32),
+            jax.ShapeDtypeStruct((V, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_bm, mix_bm, tau, gz, add, gtile, eta)
+    return tau_out, mix_out
+
+
+def to_bmajor(x):
+    """[V,S,4] -> [V, 4*S] base-major (lane = a*S + s)."""
+    V, S, B = x.shape
+    return jnp.transpose(x, (0, 2, 1)).reshape(V, B * S)
+
+
+def from_bmajor(x, S):
+    V, lanes = x.shape
+    return jnp.transpose(x.reshape(V, NBASES, S), (0, 2, 1))
+
+
+def tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=1.0, interpret=False):
+    """Drop-in replacement for sampler.tau_sweep_xla (same signature/PRNG).
+
+    Handles layout conversion and position-padding; for best performance V
+    should be a multiple of 512 (the wrapper pads with zero-coverage rows,
+    which are likelihood-neutral).
+    """
+    V, S, _ = n.shape
+    G = tau.shape[1]
+
+    gz = jnp.stack(
+        [jax.random.gumbel(jax.random.fold_in(key, g), (V, NBASES))
+         for g in range(G)], axis=1,
+    ).reshape(V, G * NBASES) * temp
+
+    Vt = min(_round_up(V, 8), 512)
+    Vp = _round_up(V, Vt)
+    pad = Vp - V
+
+    n_bm = to_bmajor(n.astype(jnp.float32))
+    mix_bm = to_bmajor(mix)
+    if pad:
+        n_bm = jnp.pad(n_bm, ((0, pad), (0, 0)))
+        # pad mix with a valid simplex row (all strains base A) to keep the
+        # kernel's logs finite; the rows are stripped below
+        mix_pad = jnp.zeros((pad, NBASES * S), jnp.float32).at[:, :S].set(1.0)
+        mix_bm = jnp.concatenate([mix_bm, mix_pad], axis=0)
+        tau = jnp.pad(tau, ((0, pad), (0, 0)))
+        gz = jnp.pad(gz, ((0, pad), (0, 0)))
+
+    tau_out, mix_out = _sweep_bmajor(
+        n_bm, mix_bm, tau, gz, gamma.astype(jnp.float32),
+        eta.astype(jnp.float32), interpret=interpret,
+    )
+    if pad:
+        tau_out = tau_out[:V]
+        mix_out = mix_out[:V]
+    return tau_out, from_bmajor(mix_out, S)

@@ -92,6 +92,41 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     return res
 
 
+def run_multi(
+    data: io.CountsData, rc: RunConfig, n_chains: int, tau_sweep=None
+) -> SamplerResult:
+    """Run n_chains vmapped chains (seeds rc.seed..rc.seed+n-1) on one device
+    program and write the best-by-star-likelihood chain's outputs (the
+    reference's multi-replicate loop collapsed on-device, SURVEY.md §2.2)."""
+    import jax.numpy as jnp
+
+    from .sampler import run_chains, tau_sweep_xla
+
+    data = prepare_data(data, rc.min_coverage, rc.n_positions, rc.seed)
+    cfg = sampler_config(rc)
+    eta_init = None
+    if rc.eta_file:
+        eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+
+    n = jnp.asarray(data.counts, jnp.float32)
+    seeds = list(range(rc.seed, rc.seed + n_chains))
+    t0 = time.time()
+    res = run_chains(n, cfg, seeds, eta_init=eta_init,
+                     tau_sweep=tau_sweep or tau_sweep_xla)
+    jax.block_until_ready(res.loglik_trace)
+    elapsed = time.time() - t0
+
+    best = int(np.argmax(np.asarray(res.star_loglik)))
+    best_res = jax.tree_util.tree_map(lambda x: x[best], res)
+    write_outputs(rc.out_dir, data, best_res, cfg, elapsed)
+    with open(os.path.join(rc.out_dir, "chains.json"), "w") as f:
+        json.dump(
+            {"seeds": seeds, "best_seed": seeds[best],
+             "star_logliks": np.asarray(res.star_loglik).tolist()}, f, indent=2,
+        )
+    return best_res
+
+
 def write_outputs(
     out_dir: str,
     data: io.CountsData,

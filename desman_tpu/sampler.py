@@ -130,12 +130,14 @@ def _loglik(n, mix, eta):
 # tau sweep (the reference's Cython+GSL hot loop, SURVEY.md §3.1)
 # --------------------------------------------------------------------------
 
-def tau_sweep_xla(n, tau, mix, gamma, eta, key):
+def tau_sweep_xla(n, tau, mix, gamma, eta, key, temp=1.0):
     """One full-Gibbs sweep over strains; all positions vectorized.
 
     Sequential fori_loop over g (G is small and the strain conditionals are
     coupled); per strain one fused O(V*S*16) candidate evaluation and a
-    Gumbel-argmax categorical draw per position.
+    Gumbel-argmax categorical draw per position. temp > 1 tempers the
+    conditional (argmax(cand + temp*gumbel) == sampling from p^(1/temp)),
+    used by annealed maximization modes to escape single-site local optima.
     """
     G = tau.shape[1]
     V = tau.shape[0]
@@ -155,7 +157,7 @@ def tau_sweep_xla(n, tau, mix, gamma, eta, key):
         )                                                                  # [V,S,C,B]
         cand = heinsum("vsb,vscb->vc", n, terms)                        # [V,4]
         gz = jax.random.gumbel(jax.random.fold_in(key, g), (V, NBASES))
-        new_g = jnp.argmax(cand + gz, axis=1).astype(jnp.int32)
+        new_g = jnp.argmax(cand + temp * gz, axis=1).astype(jnp.int32)
         mix = rest + gamma_g[None, :, None] * one_hot_tau(new_g)[:, None, :]
         tau = jax.lax.dynamic_update_slice_in_dim(tau, new_g[:, None], g, axis=1)
         return tau, mix

@@ -1,0 +1,99 @@
+"""CLI surface tests: the reference's flag semantics end-to-end (SURVEY.md §8)."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from desman_tpu import io, synth
+from desman_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    t = synth.generate(V=80, S=8, G=2, coverage=60.0, seed=9)
+    io.write_counts_csv(str(d / "counts.csv"), t.data)
+    io.write_eta_csv(str(d / "tran_df.csv"), t.eta)
+    return d, t
+
+
+def test_desman_cli(workdir):
+    d, t = workdir
+    out = str(d / "out")
+    rc = main(["desman", str(d / "counts.csv"), "-g", "2",
+               "-e", str(d / "tran_df.csv"), "-o", out, "-i", "40", "-s", "0"])
+    assert rc == 0
+    fit = io.read_fit_txt(os.path.join(out, "fit.txt"))
+    assert fit["G"] == 2 and fit["V"] == 80
+    assert os.path.exists(os.path.join(out, "Filtered_Tau_star.csv"))
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+
+
+def test_desman_cli_chains(workdir):
+    d, t = workdir
+    out = str(d / "out_chains")
+    rc = main(["desman", str(d / "counts.csv"), "-g", "2", "-o", out,
+               "-i", "30", "--chains", "2"])
+    assert rc == 0
+    chains = json.load(open(os.path.join(out, "chains.json")))
+    assert chains["seeds"] == [0, 1]
+
+
+def test_filter_cli(workdir, tmp_path):
+    d, t = workdir
+    stub = str(tmp_path / "filt_")
+    rc = main(["filter", str(d / "counts.csv"), "-o", stub])
+    assert rc == 0
+    for suffix in ["sel_var.csv", "p_df.csv", "q_df.csv", "tran_df.csv",
+                   "log_file.txt"]:
+        assert os.path.exists(stub + suffix), suffix
+    sel = io.read_counts_csv(stub + "sel_var.csv")
+    assert sel.V > 0
+    eta = io.read_eta_csv(stub + "tran_df.csv")
+    assert np.allclose(eta.sum(1), 1.0, atol=1e-6)
+
+
+def test_geneassign_cli(workdir, tmp_path):
+    d, t = workdir
+    # gamma from a tiny run + synthetic gene coverage against it
+    gamma = t.gamma
+    io.write_gamma_csv(str(tmp_path / "Gamma_mean.csv"), gamma, t.data.samples)
+    rng = np.random.default_rng(0)
+    total = np.full(t.data.S, 40.0)
+    cov = (gamma * total[:, None]).T
+    etaG = rng.integers(0, 2, size=(30, gamma.shape[1]))
+    etaG[etaG.sum(1) == 0, 0] = 1
+    x = rng.poisson(etaG @ cov)
+    pd.DataFrame(x, index=[f"gene{i}" for i in range(30)],
+                 columns=t.data.samples).to_csv(tmp_path / "gene_cov.csv")
+    pd.DataFrame({"cov": total}, index=t.data.samples).to_csv(tmp_path / "total.csv")
+
+    stub = str(tmp_path / "ga_")
+    rc = main(["geneassign", "-g", str(tmp_path / "Gamma_mean.csv"),
+               "-c", str(tmp_path / "gene_cov.csv"),
+               "-t", str(tmp_path / "total.csv"), "-o", stub])
+    assert rc == 0
+    calls = pd.read_csv(stub + "etaS_df.csv", index_col=0).to_numpy()
+    assert (calls == etaG).mean() > 0.9
+
+
+def test_resolvenhap_cli(workdir, tmp_path, capsys):
+    d, t = workdir
+    outs = []
+    for G in (1, 2, 3):
+        out = str(tmp_path / f"run_{G}_0")
+        main(["desman", str(d / "counts.csv"), "-g", str(G), "-o", out,
+              "-i", "30", "-e", str(d / "tran_df.csv")])
+        outs.append(out)
+    rc = main(["resolvenhap", str(tmp_path / "run_*"),
+               "-o", str(tmp_path / "best.txt")])
+    assert rc == 0
+    line = open(tmp_path / "best.txt").read().strip().splitlines()[1]
+    G = int(line.split(",")[0])
+    assert G == 2, f"picked G={G}"
+
+
+def test_unknown_command():
+    assert main(["bogus"]) == 2

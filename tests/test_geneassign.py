@@ -1,0 +1,76 @@
+"""GeneAssign recovery tests: known presence/absence matrix + coverage noise
+-> exact enumeration must recover it (BASELINE.json config #4)."""
+import jax
+import numpy as np
+import pytest
+
+from desman_tpu.geneassign import (
+    GeneAssignConfig, assign_genes, assign_gene_tau, sample_total_coverage,
+    strain_coverage,
+)
+from desman_tpu import synth
+
+
+def _gene_dataset(D=60, S=12, G=3, seed=0, max_copy=1, mean_cov=30.0):
+    rng = np.random.default_rng(seed)
+    gamma = rng.dirichlet(np.ones(G) * 2.0, size=S)      # [S,G]
+    total = rng.uniform(0.5, 1.5, size=S) * mean_cov     # [S]
+    cov = strain_coverage(gamma, total)                  # [G,S]
+    etaG = rng.integers(0, max_copy + 1, size=(D, G))
+    # every gene present somewhere
+    none = etaG.sum(axis=1) == 0
+    etaG[none, rng.integers(0, G, size=none.sum())] = 1
+    mu = etaG @ cov                                      # [D,S]
+    x = rng.poisson(np.maximum(mu, 1e-9)).astype(np.float64)
+    return x, cov, etaG
+
+
+def test_enumeration_recovers_presence():
+    x, cov, etaG = _gene_dataset()
+    res = assign_genes(x, cov)
+    acc = (np.asarray(res.eta_star) == etaG).mean()
+    assert acc > 0.95, f"presence accuracy {acc}"
+
+
+def test_enumeration_copy_number():
+    x, cov, etaG = _gene_dataset(max_copy=2, mean_cov=60.0)
+    res = assign_genes(x, cov, GeneAssignConfig(max_copy=2))
+    acc = (np.asarray(res.eta_star) == etaG).mean()
+    assert acc > 0.9, f"copy-number accuracy {acc}"
+
+
+def test_presence_probs_calibrated():
+    x, cov, etaG = _gene_dataset()
+    res = assign_genes(x, cov)
+    p = np.asarray(res.presence_prob)
+    assert p.shape == etaG.shape
+    assert ((p >= 0) & (p <= 1.0 + 1e-6)).all()
+    # probabilities should align with the truth on average
+    assert p[etaG >= 1].mean() > 0.9
+    assert p[etaG == 0].mean() < 0.1
+
+
+def test_gibbs_mode_agrees_with_enumeration():
+    x, cov, etaG = _gene_dataset(D=30)
+    enum = assign_genes(x, cov, GeneAssignConfig(state_cap=4096))
+    gibbs = assign_genes(x, cov, GeneAssignConfig(state_cap=1, gibbs_sweeps=200),
+                         key=jax.random.PRNGKey(0))
+    agree = (np.asarray(enum.eta_star) == np.asarray(gibbs.eta_star)).mean()
+    assert agree > 0.95, f"gibbs/enum agreement {agree}"
+
+
+def test_assign_gene_tau():
+    t = synth.generate(V=80, S=10, G=3, coverage=60.0, seed=2)
+    tau_star, tau_mean = assign_gene_tau(t.data.counts, t.gamma, t.eta, sweeps=40)
+    from desman_tpu.utils import snp_distance_perm
+
+    # gamma/eta are the TRUE values and strain order is fixed -> no permutation
+    errs = int((np.asarray(tau_star) != t.tau_idx).sum())
+    assert errs <= 5, f"{errs} tau errors"
+
+
+def test_sample_total_coverage():
+    t = synth.generate(V=50, S=4, G=2, coverage=30.0, seed=1)
+    total = sample_total_coverage(t.data.counts)
+    assert total.shape == (4,)
+    assert np.all(total > 10)

@@ -1,0 +1,57 @@
+"""Model selection (resolvenhap semantics): the G grid must pick the true
+number of strains on synthetic data (BASELINE.json config #3)."""
+import numpy as np
+import pytest
+
+from desman_tpu import synth
+from desman_tpu.model_selection import (
+    RunRecord, fit_grid, resolve_nhap, scan_run_dirs,
+)
+
+
+def test_resolve_nhap_elbow_rule():
+    # deviance drops hard until G=3, then flattens: expect G=3
+    records = [
+        RunRecord(G=1, seed=0, mean_deviance=10000.0, uncertainty=0.0),
+        RunRecord(G=2, seed=0, mean_deviance=6000.0, uncertainty=0.01),
+        RunRecord(G=3, seed=0, mean_deviance=4000.0, uncertainty=0.02),
+        RunRecord(G=4, seed=0, mean_deviance=3990.0, uncertainty=0.2),
+        RunRecord(G=5, seed=0, mean_deviance=3985.0, uncertainty=0.4),
+    ]
+    sel = resolve_nhap(records, dev_cutoff=0.02)
+    assert sel.G == 3
+
+
+def test_resolve_nhap_picks_best_replicate():
+    records = [
+        RunRecord(G=2, seed=0, mean_deviance=5000.0, uncertainty=0.0),
+        RunRecord(G=2, seed=1, mean_deviance=4000.0, uncertainty=0.0),
+        RunRecord(G=3, seed=0, mean_deviance=3990.0, uncertainty=0.0),
+    ]
+    sel = resolve_nhap(records, dev_cutoff=0.02)
+    assert (sel.G, sel.seed) == (2, 1)
+
+
+def test_fit_grid_selects_true_G(tmp_path):
+    t = synth.generate(V=100, S=12, G=3, coverage=60.0, seed=11)
+    records = fit_grid(
+        t.data.counts, g_values=[1, 2, 3, 4], seeds=[0, 1],
+        iterations=80, eta_init=t.eta, fix_eta=True,
+        out_stub=str(tmp_path / "run"), data=t.data,
+    )
+    assert len(records) == 8
+    sel = resolve_nhap(records)
+    assert sel.G == 3, f"picked G={sel.G}"
+    # round-trip through the on-disk fit.txt path (reference resolvenhap mode)
+    dirs = [r.run_dir for r in records]
+    rescanned = scan_run_dirs(dirs)
+    sel2 = resolve_nhap(rescanned)
+    assert sel2.G == 3
+    assert abs(sel2.mean_deviance - sel.mean_deviance) < 1.0
+
+
+def test_summary_line_format():
+    sel = resolve_nhap([RunRecord(G=2, seed=1, mean_deviance=10.0, uncertainty=0.05,
+                                  run_dir="d")])
+    parts = sel.summary_line().split(",")
+    assert parts[0] == "2" and parts[1] == "1" and parts[4] == "d"
