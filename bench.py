@@ -36,8 +36,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from functools import partial
+
     from desman_tpu import synth
-    from desman_tpu.sampler import SamplerConfig, run_chain
+    from desman_tpu.sampler import SamplerConfig
+    from desman_tpu.sampler import run_chain as run_chain_base
 
     t = synth.generate(V=V, S=S, G=G, coverage=50.0, seed=0)
     n_host = t.data.counts.astype(np.float32)
@@ -48,6 +51,13 @@ def main():
     n = jax.device_put(jnp.asarray(n_host), dev)
     cfg = SamplerConfig(G=G, burn=0, samples=TPU_SWEEPS, nmf_iters=50)
     key = jax.random.PRNGKey(0)
+
+    # fused Pallas tau sweep on real TPU; XLA fallback elsewhere (e.g. CPU CI)
+    if jax.default_backend() in ("tpu", "axon"):
+        from desman_tpu.ops import tau_sweep_pallas as tau_sweep
+    else:
+        from desman_tpu.sampler import tau_sweep_xla as tau_sweep
+    run_chain = partial(run_chain_base, tau_sweep=tau_sweep)
 
     res = run_chain(n, cfg, key)          # compile + run
     trace = np.asarray(res.loglik_trace)  # device->host fetch forces completion

@@ -44,6 +44,14 @@ def _desman(argv) -> int:
                     "star likelihood is written")
     ap.add_argument("--kappa_gamma", type=float, default=100.0)
     ap.add_argument("--kappa_eta", type=float, default=1000.0)
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz path: checkpoint every --checkpoint_every "
+                    "sweeps and resume from it if present")
+    ap.add_argument("--checkpoint_every", type=int, default=50)
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler device trace to this dir")
+    ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
+                    help="tau-sweep implementation")
     args = ap.parse_args(argv)
 
     from . import io
@@ -55,12 +63,18 @@ def _desman(argv) -> int:
         eta_file=args.eta_file, sample_eta=args.sample_eta,
         min_coverage=args.min_coverage, n_positions=args.random_positions,
         out_dir=args.output_dir, kappa_gamma=args.kappa_gamma,
-        kappa_eta=args.kappa_eta,
+        kappa_eta=args.kappa_eta, checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every, profile_dir=args.profile,
     )
+    tau_sweep = None
+    if args.kernel == "pallas":
+        from .ops import tau_sweep_pallas
+
+        tau_sweep = tau_sweep_pallas
     if args.chains > 1:
-        run_multi(data, rc, n_chains=args.chains)
+        run_multi(data, rc, n_chains=args.chains, tau_sweep=tau_sweep)
     else:
-        run(data, rc)
+        run(data, rc, tau_sweep=tau_sweep)
     print(f"desman: wrote {args.output_dir}/fit.txt")
     return 0
 
@@ -226,12 +240,70 @@ def _validate(argv) -> int:
     return 0
 
 
+def _genecov(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-genecov",
+        description="Per-gene mean coverage matrix from a counts CSV "
+        "(ExtractCountFreqGenes equivalent)",
+    )
+    ap.add_argument("counts_file")
+    ap.add_argument("-G", "--genes", required=True,
+                    help="gene table: gene,contig,start,end (csv/tsv/bed)")
+    ap.add_argument("-o", "--output", default="gene_cov.csv")
+    args = ap.parse_args(argv)
+
+    from . import io
+    from .genecov import gene_coverage, read_gene_table
+
+    data = io.read_counts_csv(args.counts_file)
+    df = gene_coverage(data, read_gene_table(args.genes))
+    df.to_csv(args.output)
+    print(f"genecov: {len(df)} genes x {data.S} samples -> {args.output}")
+    return 0
+
+
+def _collate(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-collate",
+        description="Collate fit.txt records from run dirs into one CSV "
+        "(the reference's deviance-collation scripts, SURVEY.md §2 misc)",
+    )
+    ap.add_argument("run_dirs", nargs="+")
+    ap.add_argument("-o", "--output", default="collated_fits.csv")
+    args = ap.parse_args(argv)
+
+    from . import io
+
+    dirs = []
+    for pat in args.run_dirs:
+        hits = sorted(globlib.glob(pat))
+        dirs.extend(hits if hits else [pat])
+    rows = []
+    for d in dirs:
+        fp = os.path.join(d, "fit.txt")
+        if not os.path.isfile(fp):
+            continue
+        rec = io.read_fit_txt(fp)
+        rec["run_dir"] = d
+        rows.append(rec)
+    if not rows:
+        print("collate: no fit.txt found", file=sys.stderr)
+        return 1
+    import pandas as pd
+
+    pd.DataFrame(rows).sort_values(["G"]).to_csv(args.output, index=False)
+    print(f"collate: {len(rows)} runs -> {args.output}")
+    return 0
+
+
 _COMMANDS = {
     "desman": _desman,
     "filter": _filter,
     "geneassign": _geneassign,
     "resolvenhap": _resolvenhap,
     "validate": _validate,
+    "genecov": _genecov,
+    "collate": _collate,
 }
 
 

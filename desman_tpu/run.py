@@ -40,6 +40,9 @@ class RunConfig:
     burn_frac: float = 0.5
     kappa_gamma: float = 100.0
     kappa_eta: float = 1000.0
+    checkpoint_path: Optional[str] = None   # enables segmented run + resume
+    checkpoint_every: int = 50
+    profile_dir: Optional[str] = None       # jax.profiler trace output
 
 
 def prepare_data(
@@ -80,12 +83,24 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
 
     n = jnp.asarray(data.counts, jnp.float32)
+    from .profiling import device_trace
+
     t0 = time.time()
-    res = run_chain(
-        n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
-        tau_sweep=tau_sweep or tau_sweep_xla,
-    )
-    jax.block_until_ready(res.loglik_trace)
+    with device_trace(rc.profile_dir):
+        if rc.checkpoint_path:
+            from .checkpoint import run_chain_checkpointed
+
+            res = run_chain_checkpointed(
+                n, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
+                checkpoint_every=rc.checkpoint_every, eta_init=eta_init,
+                tau_sweep=tau_sweep or tau_sweep_xla,
+            )
+        else:
+            res = run_chain(
+                n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
+                tau_sweep=tau_sweep or tau_sweep_xla,
+            )
+        jax.block_until_ready(res.loglik_trace)
     elapsed = time.time() - t0
 
     write_outputs(rc.out_dir, data, res, cfg, elapsed)

@@ -54,6 +54,9 @@ class SamplerConfig:
     samples: int = 100
     kappa_gamma: float = 100.0
     kappa_eta: float = 1000.0
+    adapt_kappa: bool = True      # tune proposal scales during burn-in
+    target_accept: float = 0.3
+    adapt_rate: float = 0.1
     proposal_floor: float = 0.1
     eta_prior_diag: float = 10.0
     eta_prior_off: float = 1.0
@@ -74,6 +77,8 @@ class SamplerState(NamedTuple):
     mix: jax.Array      # f32 [V,S,4]
     loglik: jax.Array   # f32 scalar (no multinomial coeff)
     key: jax.Array
+    kappa_gamma: jax.Array  # f32 — adaptive proposal concentration
+    kappa_eta: jax.Array
 
 
 class SamplerAccum(NamedTuple):
@@ -169,12 +174,14 @@ def tau_sweep_xla(n, tau, mix, gamma, eta, key, temp=1.0):
 # gamma / eta MH updates
 # --------------------------------------------------------------------------
 
-def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key):
+def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None):
     """Parallel per-sample Dirichlet-random-walk MH (SURVEY.md §0.1)."""
+    if kappa is None:
+        kappa = cfg.kappa_gamma
     k_prop, k_u = jax.random.split(key)
-    alpha_fwd = cfg.kappa_gamma * gamma + cfg.proposal_floor          # [S,G]
+    alpha_fwd = kappa * gamma + cfg.proposal_floor                    # [S,G]
     gamma_prop = _sample_dirichlet(k_prop, alpha_fwd)
-    alpha_rev = cfg.kappa_gamma * gamma_prop + cfg.proposal_floor
+    alpha_rev = kappa * gamma_prop + cfg.proposal_floor
 
     tau_oh = one_hot_tau(tau)                                         # [V,G,4]
     mix_prop = mixture(tau_oh, gamma_prop)                            # [V,S,4]
@@ -197,8 +204,10 @@ def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key):
     return gamma, mix, jnp.mean(accept.astype(jnp.float32))
 
 
-def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key):
+def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None):
     """Sequential per-row Dirichlet MH on the 4x4 error matrix."""
+    if kappa is None:
+        kappa = cfg.kappa_eta
     prior_alpha = (
         jnp.full((NBASES, NBASES), cfg.eta_prior_off)
         + jnp.eye(NBASES) * (cfg.eta_prior_diag - cfg.eta_prior_off)
@@ -209,9 +218,9 @@ def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key):
         ka = jax.random.fold_in(key, a)
         k_prop, k_u = jax.random.split(ka)
         row = jax.lax.dynamic_slice_in_dim(eta, a, 1, axis=0)[0]      # [4]
-        alpha_fwd = cfg.kappa_eta * row + cfg.proposal_floor
+        alpha_fwd = kappa * row + cfg.proposal_floor
         row_prop = _sample_dirichlet(k_prop, alpha_fwd)
-        alpha_rev = cfg.kappa_eta * row_prop + cfg.proposal_floor
+        alpha_rev = kappa * row_prop + cfg.proposal_floor
         eta_prop = jax.lax.dynamic_update_slice_in_dim(
             eta, row_prop[None, :], a, axis=0
         )
@@ -246,15 +255,37 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
         k_tau, k_gamma, k_eta = jax.random.split(key, 3)
 
         tau, mix = tau_sweep(n, state.tau, state.mix, state.gamma, state.eta, k_tau)
-        gamma, mix, acc_g = gamma_step(cfg, n, tau, mix, state.gamma, state.eta, k_gamma)
+        gamma, mix, acc_g = gamma_step(
+            cfg, n, tau, mix, state.gamma, state.eta, k_gamma,
+            kappa=state.kappa_gamma,
+        )
         loglik = _loglik(n, mix, state.eta)
         if cfg.fix_eta:
             eta, acc_e = state.eta, jnp.float32(0.0)
         else:
-            eta, loglik, acc_e = eta_step(cfg, n, mix, state.eta, loglik, k_eta)
+            eta, loglik, acc_e = eta_step(
+                cfg, n, mix, state.eta, loglik, k_eta, kappa=state.kappa_eta
+            )
+
+        # diminishing adaptation, burn-in only: larger kappa -> smaller
+        # Dirichlet steps -> higher acceptance, so push kappa toward the
+        # target rate while burn lasts (valid MCMC: frozen post-burn)
+        if cfg.adapt_kappa:
+            adapting = (it < cfg.burn).astype(jnp.float32)
+            kg = state.kappa_gamma * jnp.exp(
+                adapting * cfg.adapt_rate * (cfg.target_accept - acc_g)
+            )
+            ke = state.kappa_eta * jnp.exp(
+                adapting * cfg.adapt_rate * (cfg.target_accept - acc_e)
+            )
+            kg = jnp.clip(kg, 10.0, 1e6)
+            ke = jnp.clip(ke, 10.0, 1e7)
+        else:
+            kg, ke = state.kappa_gamma, state.kappa_eta
 
         new_state = SamplerState(
-            tau=tau, gamma=gamma, eta=eta, mix=mix, loglik=loglik, key=state.key
+            tau=tau, gamma=gamma, eta=eta, mix=mix, loglik=loglik,
+            key=state.key, kappa_gamma=kg, kappa_eta=ke,
         )
 
         is_sample = (it >= cfg.burn).astype(jnp.float32)
@@ -302,6 +333,8 @@ def init_state(
     return SamplerState(
         tau=tau.astype(jnp.int32), gamma=gamma.astype(jnp.float32),
         eta=eta, mix=mix, loglik=loglik, key=k_run,
+        kappa_gamma=jnp.float32(cfg.kappa_gamma),
+        kappa_eta=jnp.float32(cfg.kappa_eta),
     )
 
 
