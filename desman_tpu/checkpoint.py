@@ -81,6 +81,7 @@ def run_chain_checkpointed(
     checkpoint_path: str,
     checkpoint_every: int = 50,
     eta_init=None,
+    tau_init=None,
     tau_sweep=tau_sweep_xla,
 ) -> SamplerResult:
     """run_chain with periodic checkpoints and automatic resume.
@@ -96,7 +97,7 @@ def run_chain_checkpointed(
         state, accum, it, trace_done = load(checkpoint_path)
         trace_parts = [trace_done[:it]]
     else:
-        state = init_state(n, cfg, key, eta_init)
+        state = init_state(n, cfg, key, eta_init, tau_init)
         accum = init_accum(V, S, cfg.G)
         it = 0
         trace_parts = []

@@ -39,6 +39,11 @@ def _desman(argv) -> int:
     ap.add_argument("-m", "--min_coverage", type=float, default=0.0)
     ap.add_argument("--sample_eta", action="store_true",
                     help="sample eta even when -e seeds it")
+    ap.add_argument("-t", "--tau_init", default=None,
+                    help="Filtered_Tau_star.csv to initialize tau from")
+    ap.add_argument("-f", "--tau_fixed", default=None,
+                    help="Filtered_Tau_star.csv to FIX tau to (fits gamma/eta "
+                    "only, e.g. assigning new samples to known haplotypes)")
     ap.add_argument("--chains", type=int, default=1,
                     help="vmapped chains (seeds seed..seed+chains-1); best by "
                     "star likelihood is written")
@@ -65,6 +70,8 @@ def _desman(argv) -> int:
         out_dir=args.output_dir, kappa_gamma=args.kappa_gamma,
         kappa_eta=args.kappa_eta, checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every, profile_dir=args.profile,
+        tau_file=args.tau_fixed or args.tau_init,
+        fix_tau=args.tau_fixed is not None,
     )
     tau_sweep = None
     if args.kernel == "pallas":
@@ -296,8 +303,25 @@ def _collate(argv) -> int:
     return 0
 
 
+def _pipeline(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-pipeline",
+        description="Run filter -> G-grid -> selection (-> genes) from one "
+        "YAML/JSON config (the reference's Snakemake stage, SURVEY.md §3.5)",
+    )
+    ap.add_argument("config", help="YAML/JSON pipeline config")
+    args = ap.parse_args(argv)
+
+    from .pipeline import load_config, run_pipeline
+
+    summary = run_pipeline(load_config(args.config))
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
 _COMMANDS = {
     "desman": _desman,
+    "pipeline": _pipeline,
     "filter": _filter,
     "geneassign": _geneassign,
     "resolvenhap": _resolvenhap,

@@ -43,6 +43,8 @@ class RunConfig:
     checkpoint_path: Optional[str] = None   # enables segmented run + resume
     checkpoint_every: int = 50
     profile_dir: Optional[str] = None       # jax.profiler trace output
+    tau_file: Optional[str] = None          # -t/-f: tau-star CSV to init from
+    fix_tau: bool = False                   # -f: freeze tau (fit gamma/eta only)
 
 
 def prepare_data(
@@ -67,7 +69,27 @@ def sampler_config(rc: RunConfig) -> SamplerConfig:
         kappa_gamma=rc.kappa_gamma,
         kappa_eta=rc.kappa_eta,
         fix_eta=(rc.eta_file is not None and not rc.sample_eta),
+        fix_tau=rc.fix_tau,
     )
+
+
+def load_tau_init(tau_file: str, data: io.CountsData) -> "np.ndarray":
+    """Load a Filtered_Tau_star.csv and align it to data's positions.
+
+    Every (Contig, Position) of `data` must appear in the tau file (the
+    reference's fixed/initial-tau input shares the filter's position set).
+    """
+    tau, contigs, positions = io.read_tau_star_csv(tau_file)
+    index = {
+        (str(c), int(p)): i for i, (c, p) in enumerate(zip(contigs, positions))
+    }
+    rows = []
+    for c, p in zip(data.contigs, data.positions):
+        key = (str(c), int(p))
+        if key not in index:
+            raise ValueError(f"tau file missing position {key}")
+        rows.append(index[key])
+    return tau[rows]
 
 
 def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
@@ -81,6 +103,11 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     eta_init = None
     if rc.eta_file:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+    tau_init = None
+    if rc.tau_file:
+        tau_init = jnp.asarray(load_tau_init(rc.tau_file, data), jnp.int32)
+    elif rc.fix_tau:
+        raise ValueError("fix_tau requires tau_file")
 
     n = jnp.asarray(data.counts, jnp.float32)
     from .profiling import device_trace
@@ -93,12 +120,12 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
             res = run_chain_checkpointed(
                 n, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
                 checkpoint_every=rc.checkpoint_every, eta_init=eta_init,
-                tau_sweep=tau_sweep or tau_sweep_xla,
+                tau_init=tau_init, tau_sweep=tau_sweep or tau_sweep_xla,
             )
         else:
             res = run_chain(
                 n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
-                tau_sweep=tau_sweep or tau_sweep_xla,
+                tau_init=tau_init, tau_sweep=tau_sweep or tau_sweep_xla,
             )
         jax.block_until_ready(res.loglik_trace)
     elapsed = time.time() - t0
@@ -134,10 +161,18 @@ def run_multi(
     best = int(np.argmax(np.asarray(res.star_loglik)))
     best_res = jax.tree_util.tree_map(lambda x: x[best], res)
     write_outputs(rc.out_dir, data, best_res, cfg, elapsed)
+
+    from .diagnostics import ess_bulk, replicate_agreement, split_rhat
+
+    post = np.asarray(res.loglik_trace)[:, cfg.burn:]
+    agree = replicate_agreement(list(np.asarray(res.tau_star)))
     with open(os.path.join(rc.out_dir, "chains.json"), "w") as f:
         json.dump(
             {"seeds": seeds, "best_seed": seeds[best],
-             "star_logliks": np.asarray(res.star_loglik).tolist()}, f, indent=2,
+             "star_logliks": np.asarray(res.star_loglik).tolist(),
+             "loglik_split_rhat": split_rhat(post),
+             "loglik_ess_bulk": ess_bulk(post),
+             "tau_star_pairwise_snp": agree.tolist()}, f, indent=2,
         )
     return best_res
 

@@ -61,6 +61,8 @@ class SamplerConfig:
     eta_prior_diag: float = 10.0
     eta_prior_off: float = 1.0
     fix_eta: bool = False
+    fix_tau: bool = False         # reference -f: freeze haplotypes, fit gamma/eta
+    store_samples: bool = False   # keep per-sweep (tau,gamma,eta) draws
     nmf_iters: int = 300
 
     @property
@@ -107,6 +109,10 @@ class SamplerResult(NamedTuple):
     loglik_trace: jax.Array  # [total_sweeps]
     accept_gamma: jax.Array  # mean acceptance rate
     accept_eta: jax.Array
+    # optional per-sweep draws (store_samples=True), else None:
+    tau_samples: Optional[jax.Array] = None    # int8 [sweeps,V,G]
+    gamma_samples: Optional[jax.Array] = None  # [sweeps,S,G]
+    eta_samples: Optional[jax.Array] = None    # [sweeps,4,4]
 
 
 def _dirichlet_logpdf(x, alpha):
@@ -254,7 +260,12 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
         key = jax.random.fold_in(state.key, it)
         k_tau, k_gamma, k_eta = jax.random.split(key, 3)
 
-        tau, mix = tau_sweep(n, state.tau, state.mix, state.gamma, state.eta, k_tau)
+        if cfg.fix_tau:
+            tau, mix = state.tau, state.mix
+        else:
+            tau, mix = tau_sweep(
+                n, state.tau, state.mix, state.gamma, state.eta, k_tau
+            )
         gamma, mix, acc_g = gamma_step(
             cfg, n, tau, mix, state.gamma, state.eta, k_gamma,
             kappa=state.kappa_gamma,
@@ -379,11 +390,19 @@ def run_chain(
     def step(carry, it):
         state, accum = carry
         state, accum, ll = sweep(n, state, accum, it)
-        return (state, accum), ll
+        if cfg.store_samples:
+            ys = (ll, state.tau.astype(jnp.int8), state.gamma, state.eta)
+        else:
+            ys = ll
+        return (state, accum), ys
 
-    (state, accum), trace = jax.lax.scan(
+    (state, accum), ys = jax.lax.scan(
         step, (state, accum), jnp.arange(cfg.total_sweeps)
     )
+    if cfg.store_samples:
+        trace, tau_s, gamma_s, eta_s = ys
+    else:
+        trace, tau_s, gamma_s, eta_s = ys, None, None, None
 
     n_s = jnp.maximum(accum.n_samples, 1.0)
     return SamplerResult(
@@ -398,6 +417,9 @@ def run_chain(
         loglik_trace=trace,
         accept_gamma=accum.acc_gamma / cfg.total_sweeps,
         accept_eta=accum.acc_eta / cfg.total_sweeps,
+        tau_samples=tau_s,
+        gamma_samples=gamma_s,
+        eta_samples=eta_s,
     )
 
 
