@@ -57,6 +57,9 @@ def _desman(argv) -> int:
                     help="write a jax.profiler device trace to this dir")
     ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
                     help="tau-sweep implementation")
+    ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
+                    help="shard over a device mesh, e.g. 2x4 (chain x "
+                    "position axes); requires --chains >= chain axis")
     args = ap.parse_args(argv)
 
     from . import io
@@ -78,8 +81,17 @@ def _desman(argv) -> int:
         from .ops import tau_sweep_pallas
 
         tau_sweep = tau_sweep_pallas
-    if args.chains > 1:
-        run_multi(data, rc, n_chains=args.chains, tau_sweep=tau_sweep)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        from .parallel.distributed import maybe_initialize
+
+        maybe_initialize()
+        c, d = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(n_chain=c, n_data=d)
+    if args.chains > 1 or mesh is not None:
+        run_multi(data, rc, n_chains=max(args.chains, 1),
+                  tau_sweep=tau_sweep, mesh=mesh)
     else:
         run(data, rc, tau_sweep=tau_sweep)
     print(f"desman: wrote {args.output_dir}/fit.txt")
@@ -94,6 +106,8 @@ def _filter(argv) -> int:
     ap.add_argument("-o", "--output_stub", default="filtered_")
     ap.add_argument("-m", "--min_coverage", type=float, default=5.0)
     ap.add_argument("-q", "--q_cutoff", type=float, default=0.05)
+    ap.add_argument("-p", "--p_cutoff", type=float, default=0.0,
+                    help="select on raw p-values instead of BH q (0 = off)")
     ap.add_argument("-f", "--max_iterations", type=int, default=8,
                     help="outer eta re-estimation rounds")
     ap.add_argument("--chi2_df", type=float, default=1.0)
@@ -105,6 +119,7 @@ def _filter(argv) -> int:
     data = io.read_counts_csv(args.counts_file)
     cfg = FilterConfig(
         min_coverage=args.min_coverage, q_cutoff=args.q_cutoff,
+        p_cutoff=args.p_cutoff,
         max_outer_iters=args.max_iterations, chi2_df=args.chi2_df,
     )
     res = filter_variants(data, cfg)

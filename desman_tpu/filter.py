@@ -33,6 +33,8 @@ from .utils import NBASES, all_base_pairs, bh_fdr, safe_log
 class FilterConfig:
     min_coverage: float = 5.0      # reference -m: min total coverage per position
     q_cutoff: float = 0.05         # BH q-value selection threshold
+    p_cutoff: float = 0.0          # reference -p: select on raw p-values
+                                   # instead of BH q (0 disables) [M §9.6]
     chi2_df: float = 1.0           # LRT degrees of freedom [M — SURVEY §9.6]
     max_outer_iters: int = 8       # eta re-estimation rounds
     em_iters: int = 30             # fixed EM iterations for the H1 fraction
@@ -147,7 +149,10 @@ def filter_variants(
     pvals = np.where(cov_ok, pvals, 1.0)
     qvals = bh_fdr(pvals)
     qvals = np.where(cov_ok, qvals, 1.0)
-    selected = (qvals < cfg.q_cutoff) & cov_ok
+    if cfg.p_cutoff > 0:
+        selected = (pvals < cfg.p_cutoff) & cov_ok
+    else:
+        selected = (qvals < cfg.q_cutoff) & cov_ok
 
     return FilterResult(
         selected=selected,

@@ -68,11 +68,13 @@ def fit_grid(
     unc_threshold: float = 0.9,
     out_stub: Optional[str] = None,
     data: Optional[io.CountsData] = None,
+    mesh=None,
 ) -> List[RunRecord]:
     """Fit G x seeds on-device; optionally write per-run output dirs.
 
     Replaces the reference's shell-level process fan-out (SURVEY.md §2.2
-    'multi-chain parallel'): seeds are vmapped; G values loop on host.
+    'multi-chain parallel'): seeds are vmapped; G values loop on host. Pass a
+    (chain, data) Mesh to shard chains and positions across devices.
     """
     n = jnp.asarray(counts, jnp.float32)
     coeff = total_coeff(counts)
@@ -85,7 +87,13 @@ def fit_grid(
             G=G, burn=burn, samples=iterations - burn,
             kappa_gamma=kappa_gamma, kappa_eta=kappa_eta, fix_eta=fix_eta,
         )
-        res = run_chains(n, cfg, seeds, eta_init=eta)
+        if mesh is not None:
+            from .parallel import run_chains_sharded
+
+            res = run_chains_sharded(counts, cfg, seeds, mesh=mesh,
+                                     eta_init=eta)
+        else:
+            res = run_chains(n, cfg, seeds, eta_init=eta)
         for i, seed in enumerate(seeds):
             mean_dev = deviance_from_loglik(float(res.mean_loglik[i]), coeff)
             unc = float(snv_uncertainty(res.tau_mean[i], unc_threshold))

@@ -34,8 +34,38 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import NBASES
 
 
+# degree-5 minimax fit of ln(m) on m in [1,2); max abs err 2.2e-5 — far
+# below the O(1) Gumbel noise added to candidate scores (score error bound:
+# sum(n) * 2.2e-5 ~= 0.1 at coverage 50x64 samples)
+_LOG_POLY = (3.010262501e-02, -2.806325404e-01, 1.104808236e+00,
+             -2.420812563e+00, 3.498227901e+00, -1.931671542e+00)
+_LN2 = 0.6931471805599453
+
+
+def _fast_log(x):
+    """Polynomial log for x > 0: exponent via bitcast + deg-5 poly.
+
+    Measured on TPU v5e: ~14% SLOWER than the builtin log (630 vs 731
+    sweeps/s at the north-star config) — the hardware transcendental already
+    wins; kept as a documented negative result and for backends where it may
+    not (identical categorical draws either way, tested).
+    """
+    xi = pltpu.bitcast(x, jnp.int32)
+    e = jax.lax.shift_right_logical(xi, 23) - 127          # unbiased exponent
+    m = pltpu.bitcast(
+        jax.lax.bitwise_or(
+            jax.lax.bitwise_and(xi, jnp.int32(0x7FFFFF)), jnp.int32(127 << 23)
+        ),
+        jnp.float32,
+    )                                                       # mantissa in [1,2)
+    p = jnp.float32(_LOG_POLY[0])
+    for c in _LOG_POLY[1:]:
+        p = p * m + jnp.float32(c)
+    return e.astype(jnp.float32) * jnp.float32(_LN2) + p
+
+
 def _kernel(n_ref, mix_ref, tau_ref, gz_ref, add_ref, gtile_ref, eta_ref,
-            tau_out_ref, mix_out_ref, *, G: int, S: int):
+            tau_out_ref, mix_out_ref, *, G: int, S: int, fast_log: bool):
     """One full tau sweep for a [Vt, 4*S] tile.
 
     n_ref, mix_ref: [Vt, 4*S] base-major counts / mixture tile.
@@ -70,10 +100,11 @@ def _kernel(n_ref, mix_ref, tau_ref, gz_ref, add_ref, gtile_ref, eta_ref,
         q = jnp.concatenate(q_blocks, axis=1)      # [Vt, 4S]
 
         # candidate scores: cand[v,c] = sum_l n * log(q + add[g,c,:])
+        log_fn = _fast_log if fast_log else jnp.log
         cand_cols = []
         for c in range(NBASES):
             add_c = add_ref[g, c * NBASES * S:(c + 1) * NBASES * S][None, :]
-            term = n * jnp.log(jnp.maximum(q + add_c, 1e-12))
+            term = n * log_fn(jnp.maximum(q + add_c, 1e-12))
             cand_cols.append(jnp.sum(term, axis=1, keepdims=True))
         cand = jnp.concatenate(cand_cols, axis=1)  # [Vt, 4]
 
@@ -92,8 +123,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "fast_log"))
+def _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta, interpret=False,
+                  fast_log=False):
     """Run the kernel on base-major [V,4S] arrays. V must be tile-aligned."""
     V, lanes = n_bm.shape
     G = tau.shape[1]
@@ -107,7 +139,7 @@ def _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta, interpret=False):
         gamma.T[:, None, :], (G, NBASES, S)
     ).reshape(G, NBASES * S)
 
-    kernel = functools.partial(_kernel, G=G, S=S)
+    kernel = functools.partial(_kernel, G=G, S=S, fast_log=fast_log)
     grid = (V // Vt,)
     tile = lambda r: pl.BlockSpec((Vt, r), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
@@ -147,7 +179,8 @@ def from_bmajor(x, S):
     return jnp.transpose(x.reshape(V, NBASES, S), (0, 2, 1))
 
 
-def tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=1.0, interpret=False):
+def tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=1.0, interpret=False,
+                     fast_log=False):
     """Drop-in replacement for sampler.tau_sweep_xla (same signature/PRNG).
 
     Handles layout conversion and position-padding; for best performance V
@@ -179,7 +212,7 @@ def tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=1.0, interpret=False):
 
     tau_out, mix_out = _sweep_bmajor(
         n_bm, mix_bm, tau, gz, gamma.astype(jnp.float32),
-        eta.astype(jnp.float32), interpret=interpret,
+        eta.astype(jnp.float32), interpret=interpret, fast_log=fast_log,
     )
     if pad:
         tau_out = tau_out[:V]

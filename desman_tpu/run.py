@@ -135,7 +135,8 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
 
 
 def run_multi(
-    data: io.CountsData, rc: RunConfig, n_chains: int, tau_sweep=None
+    data: io.CountsData, rc: RunConfig, n_chains: int, tau_sweep=None,
+    mesh=None,
 ) -> SamplerResult:
     """Run n_chains vmapped chains (seeds rc.seed..rc.seed+n-1) on one device
     program and write the best-by-star-likelihood chain's outputs (the
@@ -153,8 +154,15 @@ def run_multi(
     n = jnp.asarray(data.counts, jnp.float32)
     seeds = list(range(rc.seed, rc.seed + n_chains))
     t0 = time.time()
-    res = run_chains(n, cfg, seeds, eta_init=eta_init,
-                     tau_sweep=tau_sweep or tau_sweep_xla)
+    if mesh is not None:
+        from .parallel import run_chains_sharded
+
+        res = run_chains_sharded(data.counts, cfg, seeds, mesh=mesh,
+                                 eta_init=eta_init,
+                                 tau_sweep=tau_sweep or tau_sweep_xla)
+    else:
+        res = run_chains(n, cfg, seeds, eta_init=eta_init,
+                         tau_sweep=tau_sweep or tau_sweep_xla)
     jax.block_until_ready(res.loglik_trace)
     elapsed = time.time() - t0
 

@@ -83,3 +83,14 @@ def test_deviance_helpers(small_synth):
     coeff = total_coeff(t.data.counts)
     d = deviance_from_loglik(-1000.0, coeff)
     assert d == -2.0 * (-1000.0 + coeff)
+
+
+def test_eta_sampling_recovers_error_matrix():
+    """With eta sampled (not fixed), the posterior mean eta approaches the
+    generating error matrix (SURVEY.md §0.1 eta update)."""
+    t = synth.generate(V=300, S=12, G=2, coverage=80.0, error_rate=0.02, seed=13)
+    cfg = SamplerConfig(G=2, burn=100, samples=100, nmf_iters=150)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    res = run_chain(n, cfg, jax.random.PRNGKey(2))
+    err = np.abs(np.asarray(res.eta_mean) - t.eta).max()
+    assert err < 0.01, f"eta max error {err}"

@@ -70,3 +70,19 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_desman_cli_mesh(small_synth, tmp_path):
+    """--mesh CLI path executes on a virtual device mesh."""
+    from desman_tpu import io
+    from desman_tpu.cli import main
+
+    t = small_synth
+    counts = str(tmp_path / "counts.csv")
+    io.write_counts_csv(counts, t.data)
+    out = str(tmp_path / "out")
+    rc = main(["desman", counts, "-g", "2", "-o", out, "-i", "20",
+               "--chains", "2", "--mesh", "2x4"])
+    assert rc == 0
+    import os
+    assert os.path.exists(os.path.join(out, "chains.json"))
