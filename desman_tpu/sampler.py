@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .likelihood import mixture, per_sample_loglik
+from .likelihood import mixture
 from .nmf import nmf_init
 from .utils import NBASES, heinsum, log_multinomial_coeff, one_hot_tau, safe_log
 
