@@ -136,13 +136,21 @@ def resolve_nhap(
 ) -> SelectionResult:
     """Pick (G, run) from a fitted grid.
 
-    Scree rule: with D(G) the best-replicate posterior mean deviance,
-    the explained span is D(Gmin) - min_G D(G); choose the smallest G whose
-    explained fraction (D(Gmin) - D(G)) / span reaches 1 - dev_cutoff.
-    More robust than successive-improvement elbows: posterior mean deviance
-    keeps creeping down past the true G (overfitting), but the remaining
-    improvement is a small fraction of the total span. Prefers a smaller G
-    meeting the ``unc_cutoff`` SNV-uncertainty bar when the choice misses it.
+    Walk G ascending over best replicates (by posterior mean deviance D) and
+    stop at g when the step to g+1 is not *both* substantial and credible:
+
+    - improvement (D(g) - D(g+1)) / D(g+1) < ``dev_cutoff`` — adding a
+      strain no longer buys a meaningful fraction of the remaining deviance
+      (normalizing by the current deviance keeps the rule scale-free: D(1)
+      can sit orders of magnitude above the noise floor), OR
+    - g+1's best run has mean SNV uncertainty > ``unc_cutoff`` — with few
+      samples an extra strain can genuinely lower deviance by absorbing
+      noise, but the posterior flags it as uncertain; this is why the
+      reference pairs deviance with SNV uncertainty (SURVEY.md §3.4).
+
+    NOTE: requires converged chains — SamplerConfig's tempered burn-in
+    (anneal_temp0) plus enough iterations (PERF.md discusses the
+    under-convergence failure mode).
     """
     if not records:
         raise ValueError("no run records")
@@ -151,24 +159,14 @@ def resolve_nhap(
         if r.G not in by_g or r.mean_deviance < by_g[r.G].mean_deviance:
             by_g[r.G] = r
     gs = sorted(by_g)
-    d0 = by_g[gs[0]].mean_deviance
-    span = d0 - min(by_g[g].mean_deviance for g in gs)
-    if span <= dev_cutoff * abs(d0):
-        # deviance is flat across G: no extra strains are supported
-        chosen = by_g[gs[0]]
-    else:
-        chosen = by_g[gs[-1]]
-        for g in gs:
-            explained = (d0 - by_g[g].mean_deviance) / max(span, 1e-9)
-            if explained >= 1.0 - dev_cutoff:
-                chosen = by_g[g]
-                break
-    if chosen.uncertainty > unc_cutoff:
-        # prefer a smaller G meeting the uncertainty bar, if any
-        for g in gs:
-            if g <= chosen.G and by_g[g].uncertainty <= unc_cutoff:
-                chosen = by_g[g]
-                break
+    chosen = by_g[gs[-1]]
+    for i, g in enumerate(gs[:-1]):
+        nxt = by_g[gs[i + 1]]
+        d_here = by_g[g].mean_deviance
+        improvement = (d_here - nxt.mean_deviance) / max(abs(nxt.mean_deviance), 1e-9)
+        if improvement < dev_cutoff or nxt.uncertainty > unc_cutoff:
+            chosen = by_g[g]
+            break
     return SelectionResult(
         G=chosen.G, seed=chosen.seed, uncertainty=chosen.uncertainty,
         mean_deviance=chosen.mean_deviance, records=list(records),

@@ -63,6 +63,8 @@ class SamplerConfig:
     fix_eta: bool = False
     fix_tau: bool = False         # reference -f: freeze haplotypes, fit gamma/eta
     store_samples: bool = False   # keep per-sweep (tau,gamma,eta) draws
+    anneal_temp0: float = 3.0     # tempered tau updates early in burn-in
+    anneal_frac: float = 0.5      # fraction of burn spent annealing T0 -> 1
     nmf_iters: int = 300
 
     @property
@@ -263,8 +265,22 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
         if cfg.fix_tau:
             tau, mix = state.tau, state.mix
         else:
+            # tempered burn-in: sample tau from p^(1/T) with T annealing
+            # T0 -> 1 over the first anneal_frac of burn, escaping the
+            # local optima that stall low-abundance strains (post-anneal
+            # sweeps are exact Gibbs, so the posterior is untouched)
+            if cfg.anneal_temp0 > 1.0 and cfg.burn > 0:
+                anneal_sweeps = max(int(cfg.burn * cfg.anneal_frac), 1)
+                temp = jnp.maximum(
+                    1.0,
+                    jnp.float32(cfg.anneal_temp0)
+                    ** (1.0 - it.astype(jnp.float32) / anneal_sweeps),
+                )
+            else:
+                temp = 1.0
             tau, mix = tau_sweep(
-                n, state.tau, state.mix, state.gamma, state.eta, k_tau
+                n, state.tau, state.mix, state.gamma, state.eta, k_tau,
+                temp=temp,
             )
         gamma, mix, acc_g = gamma_step(
             cfg, n, tau, mix, state.gamma, state.eta, k_gamma,

@@ -43,24 +43,44 @@ def main():
     if args.quick:
         V, S, G_true, gmax, seeds, iters, D = 200, 12, 3, 5, [0, 1], 80, 40
     else:
-        V, S, G_true, gmax, seeds, iters, D = 1000, 16, 5, 8, [0, 1, 2], 200, 200
+        V, S, G_true, gmax, seeds, iters, D = 1000, 16, 5, 8, [0, 1, 2], 250, 200
 
     os.makedirs(args.outdir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
 
     # ---- mock community ground truth ----
+    # variant positions + an equal number of monomorphic ones: real counts
+    # tables are mostly non-variant, and the filter learns the error matrix
+    # eta precisely from those positions (SURVEY.md §3.2) — without them the
+    # fitted eta is no better than its initializer and the fixed-eta
+    # deviance floor rises by tens of thousands
     t = synth.generate(V=V, S=S, G=G_true, coverage=50.0, error_rate=0.005,
                        gamma_alpha=2.0, seed=args.seed)
+    mono_base = rng.integers(0, 4, size=V)
+    mono = rng.poisson(
+        50.0 * t.eta[mono_base][:, None, :].repeat(S, axis=1)
+    ).astype(np.int32)
+    full = io.CountsData(
+        counts=np.concatenate([t.data.counts, mono], axis=0),
+        contigs=np.array(["synth"] * (2 * V)),
+        positions=np.arange(2 * V),
+        samples=t.data.samples,
+    )
+    is_variant = np.concatenate([np.ones(V, bool), np.zeros(V, bool)])
     counts_csv = os.path.join(args.outdir, "core_counts.csv")
-    io.write_counts_csv(counts_csv, t.data)
-    print(f"[1/5] mock community: V={V} S={S} true G={G_true} -> {counts_csv}")
+    io.write_counts_csv(counts_csv, full)
+    print(f"[1/5] mock community: {V} variant + {V} monomorphic positions, "
+          f"S={S}, true G={G_true} -> {counts_csv}")
 
     # ---- variant filter ----
     data = io.read_counts_csv(counts_csv)
     fres = filter_variants(data)
     sel = data.select(np.flatnonzero(fres.selected))
+    sens = fres.selected[is_variant].mean()
+    fpr = fres.selected[~is_variant].mean()
     io.write_eta_csv(os.path.join(args.outdir, "tran_df.csv"), fres.eta)
-    print(f"[2/5] filter: {sel.V}/{data.V} variants kept; "
+    print(f"[2/5] filter: kept {sel.V} positions "
+          f"(sensitivity {sens:.3f}, FPR {fpr:.3f}); "
           f"eta max err {np.abs(fres.eta - t.eta).max():.4f}")
 
     # ---- G-grid + model selection ----
@@ -76,10 +96,15 @@ def main():
           f"uncertainty={selres.uncertainty:.4f}")
 
     # ---- validate haplotypes vs truth ----
+    # align on (Contig, Position): prediction covers the selected positions
+    # (true variants + any false positives, which have no truth row)
     pred_tau, pc, pp = io.read_tau_star_csv(
         os.path.join(selres.run_dir, "Filtered_Tau_star.csv"))
-    keep = np.flatnonzero(fres.selected)
-    rep = compare_tau(pred_tau, t.tau_idx[keep])
+    rep = compare_tau(
+        pred_tau, t.tau_idx,
+        pred_keys=list(zip(map(str, pc), map(int, pp))),
+        true_keys=[("synth", i) for i in range(V)],
+    )
     gmae, _ = match_gamma_perm(
         t.gamma, io.read_gamma_csv(os.path.join(selres.run_dir, "Gamma_mean.csv")))
     print(f"[4/5] validate: SNP error rate {rep.error_rate:.5f} "
