@@ -348,6 +348,13 @@ _COMMANDS = {
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--debug" in argv:
+        # numerical-safety mode (SURVEY.md §5 'sanitizers' row): trap NaNs at
+        # the op that produced them and disable jit-caching surprises
+        argv.remove("--debug")
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0 if argv else 1
