@@ -122,6 +122,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tile_rows(S: int) -> int:
+    """Position-tile height under a ~6 MB VMEM working-set budget.
+
+    The kernel keeps ~5 live [Vt, 4S] f32 arrays (n, mix/rest, q, one
+    candidate term, one-hot); 512 rows fits comfortably up to S=256, larger
+    S shrinks the tile (v5e VMEM is ~16 MB/core, pallas_guide.md).
+    """
+    budget_rows = (6 * 1024 * 1024) // (5 * NBASES * S * 4)
+    vt = min(512, budget_rows)
+    return max(8, vt - vt % 8)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "fast_log"))
 def _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta, interpret=False,
                   fast_log=False):
@@ -129,7 +141,7 @@ def _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta, interpret=False,
     V, lanes = n_bm.shape
     G = tau.shape[1]
     S = lanes // NBASES
-    Vt = min(V, 512)
+    Vt = min(V, _tile_rows(S))
     assert V % Vt == 0
 
     # host-side precomputed tables (tiny): add[g, c, b, s], gtile[g, a, s]
@@ -186,15 +198,29 @@ def tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=1.0, interpret=False,
     should be a multiple of 512 (the wrapper pads with zero-coverage rows,
     which are likelihood-neutral).
     """
-    V, S, _ = n.shape
     G = tau.shape[1]
+    gz = draw_gumbel(key, n.shape[0], G, temp)
+    return tau_sweep_pallas_from_gz(n, tau, mix, gamma, eta, gz,
+                                    interpret=interpret, fast_log=fast_log)
 
-    gz = jnp.stack(
+
+def draw_gumbel(key, V: int, G: int, temp=1.0):
+    """The sweep's categorical noise [V, G*4] — same fold_in scheme as the
+    XLA path. Split out so sharded callers can draw it globally (one
+    partitionable-PRNG stream over the full V) before shard_mapping the
+    kernel (parallel/sharded.py)."""
+    return jnp.stack(
         [jax.random.gumbel(jax.random.fold_in(key, g), (V, NBASES))
          for g in range(G)], axis=1,
     ).reshape(V, G * NBASES) * temp
 
-    Vt = min(_round_up(V, 8), 512)
+
+def tau_sweep_pallas_from_gz(n, tau, mix, gamma, eta, gz, interpret=False,
+                             fast_log=False):
+    """Kernel invocation with pre-drawn Gumbel noise (layout + padding)."""
+    V, S, _ = n.shape
+
+    Vt = min(_round_up(V, 8), _tile_rows(S))
     Vp = _round_up(V, Vt)
     pad = Vp - V
 

@@ -16,8 +16,57 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import PartitionSpec as P
+
 from ..sampler import SamplerConfig, SamplerResult, run_chain, tau_sweep_xla
-from .mesh import Mesh, make_mesh, pad_positions, shard_counts, shard_keys
+from .mesh import DATA_AXIS, Mesh, make_mesh, pad_positions, shard_counts, shard_keys
+
+
+def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
+    """A tau_sweep for sharded runs that calls the fused Pallas kernel
+    per position shard.
+
+    GSPMD cannot partition a pallas_call, so the kernel is wrapped in
+    shard_map over the data axis: each device runs the whole-sweep kernel on
+    its V-shard (tau conditionals are position-independent given gamma/eta,
+    so no communication is needed inside the sweep). The Gumbel noise is
+    drawn globally OUTSIDE the shard_map with the same fold_in scheme as
+    every other path, so trajectories remain mesh-shape-invariant.
+
+    V must be divisible by the data-axis size (run_chains_sharded pads).
+    interpret=True for CPU-mesh testing.
+    """
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops.tau_pallas import draw_gumbel, tau_sweep_pallas_from_gz
+
+    kernel = partial(tau_sweep_pallas_from_gz, interpret=interpret)
+    sharded_kernel = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),   # n [V,S,4]
+            P(DATA_AXIS, None),         # tau [V,G]
+            P(DATA_AXIS, None, None),   # mix [V,S,4]
+            P(),                        # gamma (replicated)
+            P(),                        # eta
+            P(DATA_AXIS, None),         # gz [V, G*4]
+        ),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None, None)),
+        check_rep=False,
+    )
+
+    def sweep(n, tau, mix, gamma, eta, key, temp=1.0):
+        gz = draw_gumbel(key, n.shape[0], tau.shape[1], temp)
+        return sharded_kernel(n, tau, mix, gamma.astype(jnp.float32),
+                              eta.astype(jnp.float32), gz)
+
+    return sweep
 
 
 def run_chains_sharded(

@@ -85,3 +85,24 @@ def test_full_chain_with_pallas_sweep():
                     eta_init=jnp.asarray(t.eta, jnp.float32), tau_sweep=sweep)
     dist = utils.snp_distance_perm(t.tau_idx, np.asarray(res.tau_star))
     assert dist <= 4, f"SNP distance {dist}"
+
+
+def test_sharded_pallas_matches_sharded_xla():
+    """shard_mapped Pallas kernel == XLA path on a position-sharded mesh."""
+    from desman_tpu.parallel import (
+        make_mesh, make_pallas_sweep_sharded, run_chains_sharded,
+    )
+    from desman_tpu.sampler import SamplerConfig
+
+    t = synth.generate(V=96, S=8, G=2, coverage=50.0, seed=9)
+    cfg = SamplerConfig(G=2, burn=4, samples=4, nmf_iters=30)
+    mesh = make_mesh(n_chain=1, n_data=4, devices=jax.devices()[:4])
+
+    ref = run_chains_sharded(t.data.counts, cfg, [0], mesh=mesh)
+    sweep = make_pallas_sweep_sharded(mesh, interpret=INTERPRET)
+    got = run_chains_sharded(t.data.counts, cfg, [0], mesh=mesh,
+                             tau_sweep=sweep)
+    agree = (np.asarray(ref.tau_star) == np.asarray(got.tau_star)).mean()
+    assert agree > 0.99, f"tau agreement {agree}"
+    np.testing.assert_allclose(np.asarray(ref.loglik_trace),
+                               np.asarray(got.loglik_trace), rtol=1e-4)
