@@ -38,28 +38,30 @@ def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
     """
     from functools import partial
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
     from ..ops.tau_pallas import draw_gumbel, tau_sweep_pallas_from_gz
 
     kernel = partial(tau_sweep_pallas_from_gz, interpret=interpret)
-    sharded_kernel = shard_map(
-        kernel,
-        mesh=mesh,
-        in_specs=(
-            P(DATA_AXIS, None, None),   # n [V,S,4]
-            P(DATA_AXIS, None),         # tau [V,G]
-            P(DATA_AXIS, None, None),   # mix [V,S,4]
-            P(),                        # gamma (replicated)
-            P(),                        # eta
-            P(DATA_AXIS, None),         # gz [V, G*4]
-        ),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None, None)),
-        check_rep=False,
+    in_specs = (
+        P(DATA_AXIS, None, None),   # n [V,S,4]
+        P(DATA_AXIS, None),         # tau [V,G]
+        P(DATA_AXIS, None, None),   # mix [V,S,4]
+        P(),                        # gamma (replicated)
+        P(),                        # eta
+        P(DATA_AXIS, None),         # gz [V, G*4]
     )
+    out_specs = (P(DATA_AXIS, None), P(DATA_AXIS, None, None))
+    try:
+        sharded_kernel = jax.shard_map(
+            kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except (AttributeError, TypeError):  # pre-0.9 API
+        from jax.experimental.shard_map import shard_map
+
+        sharded_kernel = shard_map(
+            kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
     def sweep(n, tau, mix, gamma, eta, key, temp=1.0):
         gz = draw_gumbel(key, n.shape[0], tau.shape[1], temp)
