@@ -94,3 +94,24 @@ def test_eta_sampling_recovers_error_matrix():
     res = run_chain(n, cfg, jax.random.PRNGKey(2))
     err = np.abs(np.asarray(res.eta_mean) - t.eta).max()
     assert err < 0.01, f"eta max error {err}"
+
+
+def test_ragged_zero_coverage_masking():
+    """Zero-coverage (position, sample) cells must be inference-neutral:
+    n=0 contributes nothing to any likelihood term (SURVEY.md §7.3 'ragged
+    reality' — mask, don't drop)."""
+    t = synth.generate(V=100, S=8, G=2, coverage=60.0, seed=17)
+    counts = t.data.counts.copy()
+    # knock out a block of cells and two entire samples' first half
+    counts[::3, 2] = 0
+    counts[:50, 5] = 0
+    counts[:50, 6] = 0
+    cfg = SamplerConfig(G=2, burn=40, samples=40, nmf_iters=100)
+    n = jnp.asarray(counts, jnp.float32)
+    res = run_chain(n, cfg, jax.random.PRNGKey(0),
+                    eta_init=jnp.asarray(t.eta, jnp.float32))
+    assert np.isfinite(np.asarray(res.loglik_trace)).all()
+    # remaining data still identifies the strains
+    dist = utils.snp_distance_perm(t.tau_idx, np.asarray(res.tau_star))
+    assert dist <= 12, f"SNP distance {dist}"
+    assert np.isfinite(np.asarray(res.gamma_mean)).all()
