@@ -160,13 +160,20 @@ def _geneassign(argv) -> int:
     ap.add_argument("-m", "--max_copy", type=int, default=1)
     ap.add_argument("--model", choices=["quasipoisson", "gaussian"],
                     default="quasipoisson")
+    ap.add_argument("--assign_tau", default=None, metavar="GENE_VAR_COUNTS",
+                    help="gene variant-counts CSV: also assign gene-level "
+                    "SNVs to strains with gamma/eta frozen (reference "
+                    "--assign_tau mode); requires -e")
+    ap.add_argument("-e", "--eta_file", default=None,
+                    help="tran_df.csv / Eta_star.csv for --assign_tau")
     args = ap.parse_args(argv)
 
     import pandas as pd
 
     from . import io
     from .geneassign import (
-        GeneAssignConfig, assign_genes, sample_total_coverage, strain_coverage,
+        GeneAssignConfig, assign_gene_tau, assign_genes,
+        sample_total_coverage, strain_coverage,
     )
 
     gamma = io.read_gamma_csv(args.gamma_file)          # [S,G]
@@ -198,6 +205,21 @@ def _geneassign(argv) -> int:
         index=gdf.index,
     ).to_csv(stub + "eta_conf.csv")
     print(f"geneassign: {gene_cov.shape[0]} genes x {G} strains -> {stub}etaS_df.csv")
+
+    if args.assign_tau:
+        if not args.eta_file:
+            print("geneassign: --assign_tau requires -e/--eta_file",
+                  file=sys.stderr)
+            return 2
+        var = io.read_counts_csv(args.assign_tau)
+        eta = io.read_eta_csv(args.eta_file)
+        tau_star, tau_mean = assign_gene_tau(var.counts, gamma, eta)
+        io.write_tau_star_csv(stub + "gene_tau_star.csv",
+                              np.asarray(tau_star), var.contigs, var.positions)
+        io.write_tau_mean_csv(stub + "gene_tau_mean.csv",
+                              np.asarray(tau_mean), var.contigs, var.positions)
+        print(f"geneassign: assigned tau at {var.V} gene positions -> "
+              f"{stub}gene_tau_star.csv")
     return 0
 
 

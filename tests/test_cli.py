@@ -97,3 +97,43 @@ def test_resolvenhap_cli(workdir, tmp_path, capsys):
 
 def test_unknown_command():
     assert main(["bogus"]) == 2
+
+
+def test_geneassign_assign_tau_cli(workdir, tmp_path):
+    """Reference --assign_tau parity: gene SNVs assigned with frozen gamma/eta."""
+    d, t = workdir
+    io.write_gamma_csv(str(tmp_path / "Gamma_mean.csv"), t.gamma, t.data.samples)
+    rng = np.random.default_rng(1)
+    total = np.full(t.data.S, 40.0)
+    cov = (t.gamma * total[:, None]).T
+    etaG = rng.integers(0, 2, size=(10, t.gamma.shape[1]))
+    etaG[etaG.sum(1) == 0, 0] = 1
+    x = rng.poisson(etaG @ cov)
+    pd.DataFrame(x, index=[f"g{i}" for i in range(10)],
+                 columns=t.data.samples).to_csv(tmp_path / "gene_cov.csv")
+    pd.DataFrame({"cov": total}, index=t.data.samples).to_csv(tmp_path / "total.csv")
+    # gene variant counts: reuse the core synthetic counts as gene SNVs
+    io.write_counts_csv(str(tmp_path / "gene_var.csv"), t.data)
+    io.write_eta_csv(str(tmp_path / "eta.csv"), t.eta)
+
+    stub = str(tmp_path / "gat_")
+    rc = main(["geneassign", "-g", str(tmp_path / "Gamma_mean.csv"),
+               "-c", str(tmp_path / "gene_cov.csv"),
+               "-t", str(tmp_path / "total.csv"),
+               "--assign_tau", str(tmp_path / "gene_var.csv"),
+               "-e", str(tmp_path / "eta.csv"), "-o", stub])
+    assert rc == 0
+    tau, _, _ = io.read_tau_star_csv(stub + "gene_tau_star.csv")
+    # gamma/eta are the truth and strain order is pinned -> direct compare
+    assert (tau == t.tau_idx).mean() > 0.97
+
+
+def test_geneassign_assign_tau_requires_eta(workdir, tmp_path):
+    d, t = workdir
+    io.write_gamma_csv(str(tmp_path / "G.csv"), t.gamma, t.data.samples)
+    pd.DataFrame(np.ones((3, t.data.S)), index=list("abc"),
+                 columns=t.data.samples).to_csv(tmp_path / "gc.csv")
+    rc = main(["geneassign", "-g", str(tmp_path / "G.csv"),
+               "-c", str(tmp_path / "gc.csv"),
+               "--assign_tau", "whatever.csv", "-o", str(tmp_path / "s_")])
+    assert rc == 2
