@@ -61,8 +61,10 @@ class SamplerConfig:
     eta_prior_diag: float = 10.0
     eta_prior_off: float = 1.0
     fix_eta: bool = False
+    fix_gamma: bool = False       # freeze abundances (known mixtures / tests)
     fix_tau: bool = False         # reference -f: freeze haplotypes, fit gamma/eta
     store_samples: bool = False   # keep per-sweep (tau,gamma,eta) draws
+    swap_moves: bool = True       # per-position strain-pair swap MH each sweep
     anneal_temp0: float = 3.0     # tempered tau updates early in burn-in
     anneal_frac: float = 0.5      # fraction of burn spent annealing T0 -> 1
     nmf_iters: int = 300
@@ -178,6 +180,53 @@ def tau_sweep_xla(n, tau, mix, gamma, eta, key, temp=1.0):
     return jax.lax.fori_loop(0, G, body, (tau, mix))
 
 
+def tau_swap_move(n, tau, mix, gamma, eta, key):
+    """Per-position pairwise swap move: propose exchanging strains (g, h)'s
+    bases at every position, accept by per-position MH (positions are
+    independent given gamma/eta; the proposal is symmetric).
+
+    Single-site Gibbs cannot cross between the 'label-swapped' modes of a
+    position's joint posterior when the intermediate states are unlikely
+    (a mixing flaw the reference's per-site sampler shares); one random pair
+    per sweep costs ~2 of the sweep's 16G log-evaluations per position and
+    restores mixing across labelings (tests/test_exactness.py).
+    """
+    G = tau.shape[1]
+    V, S, _ = n.shape
+    k_pair, k_u = jax.random.split(key)
+    # random unordered pair g != h
+    g = jax.random.randint(k_pair, (), 0, G)
+    off = jax.random.randint(jax.random.fold_in(k_pair, 1), (), 1, G)
+    h = (g + off) % G
+
+    tau_g = jnp.take_along_axis(tau, jnp.full((V, 1), g), axis=1)[:, 0]
+    tau_h = jnp.take_along_axis(tau, jnp.full((V, 1), h), axis=1)[:, 0]
+    oh_g = one_hot_tau(tau_g)                              # [V,4]
+    oh_h = one_hot_tau(tau_h)
+    gam_g = jnp.take(gamma, g, axis=1)                     # [S]
+    gam_h = jnp.take(gamma, h, axis=1)
+    delta = (gam_g - gam_h)[None, :, None] * (oh_h - oh_g)[:, None, :]
+    mix_prop = mix + delta                                 # [V,S,4]
+
+    ll_old = heinsum("vsb->v", n * safe_log(heinsum("vsa,ab->vsb", mix, eta)))
+    ll_new = heinsum("vsb->v", n * safe_log(heinsum("vsa,ab->vsb", mix_prop, eta)))
+    accept = safe_log(jax.random.uniform(k_u, (V,))) < (ll_new - ll_old)
+
+    new_tau_g = jnp.where(accept, tau_h, tau_g)
+    new_tau_h = jnp.where(accept, tau_g, tau_h)
+    tau = _set_col(tau, g, new_tau_g)
+    tau = _set_col(tau, h, new_tau_h)
+    mix = jnp.where(accept[:, None, None], mix_prop, mix)
+    return tau, mix
+
+
+def _set_col(x, j, col):
+    """x[:, j] = col with a traced column index."""
+    V, G = x.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (V, G), 1)
+    return jnp.where(cols == j, col[:, None], x)
+
+
 # --------------------------------------------------------------------------
 # gamma / eta MH updates
 # --------------------------------------------------------------------------
@@ -282,10 +331,18 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
                 n, state.tau, state.mix, state.gamma, state.eta, k_tau,
                 temp=temp,
             )
-        gamma, mix, acc_g = gamma_step(
-            cfg, n, tau, mix, state.gamma, state.eta, k_gamma,
-            kappa=state.kappa_gamma,
-        )
+            if cfg.swap_moves and cfg.G > 1:
+                tau, mix = tau_swap_move(
+                    n, tau, mix, state.gamma, state.eta,
+                    jax.random.fold_in(k_tau, 12345),
+                )
+        if cfg.fix_gamma:
+            gamma, acc_g = state.gamma, jnp.float32(0.0)
+        else:
+            gamma, mix, acc_g = gamma_step(
+                cfg, n, tau, mix, state.gamma, state.eta, k_gamma,
+                kappa=state.kappa_gamma,
+            )
         loglik = _loglik(n, mix, state.eta)
         if cfg.fix_eta:
             eta, acc_e = state.eta, jnp.float32(0.0)
