@@ -1,9 +1,12 @@
 # desman_tpu build targets
 .PHONY: native test bench clean
 
-native: desman_tpu/_libcountsio.so
+native: desman_tpu/_libcountsio.so desman_tpu/_libpileupio.so
 
 desman_tpu/_libcountsio.so: native/countsio.cpp
+	g++ -O3 -std=c++17 -shared -fPIC $< -o $@
+
+desman_tpu/_libpileupio.so: native/pileupio.cpp
 	g++ -O3 -std=c++17 -shared -fPIC $< -o $@
 
 test:
@@ -13,4 +16,4 @@ bench:
 	python bench.py
 
 clean:
-	rm -f desman_tpu/_libcountsio.so
+	rm -f desman_tpu/_libcountsio.so desman_tpu/_libpileupio.so

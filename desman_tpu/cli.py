@@ -4,6 +4,7 @@ Four subcommands mirroring the reference's CLI surface and flag semantics
 (SURVEY.md §8: ``bin/desman``'s -g/-e/-o/-i/-s/-r/-m, the filter CLI, the
 GeneAssign CLI, and resolvenhap):
 
+    python -m desman_tpu.cli extract    pileup.txt -n names.txt -o counts.csv
     python -m desman_tpu.cli desman     counts.csv -g 5 -e tran_df.csv -o out -i 250 -s 0
     python -m desman_tpu.cli filter     counts.csv -o stub -m 5 -q 0.05
     python -m desman_tpu.cli geneassign -g out/Gamma_mean.csv -c gene_cov.csv -o stub
@@ -306,6 +307,54 @@ def _genecov(argv) -> int:
     return 0
 
 
+def _extract(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-extract",
+        description="Extract per-position base counts (and per-gene coverage) "
+        "from a multi-sample samtools-mpileup file "
+        "(ExtractCountFreqGenes equivalent; native C++ scanner)",
+    )
+    ap.add_argument("pileup_file", help="multi-sample `samtools mpileup` output")
+    ap.add_argument("-n", "--sample_names", default=None,
+                    help="file with one sample name per line (default: "
+                    "Sample1..S)")
+    ap.add_argument("-o", "--output", default="counts.csv")
+    ap.add_argument("-q", "--min_baseq", type=int, default=0,
+                    help="drop bases below this phred quality")
+    ap.add_argument("-G", "--genes", default=None,
+                    help="gene table (gene,contig,start,end): restrict "
+                    "positions to gene regions")
+    ap.add_argument("--gene_cov", default=None, metavar="CSV",
+                    help="also write the per-gene mean-coverage matrix "
+                    "(GeneAssign input); requires -G")
+    ap.add_argument("--python", action="store_true",
+                    help="force the pure-Python parser")
+    args = ap.parse_args(argv)
+
+    from . import io
+    from .pileup import read_pileup, read_sample_names
+
+    samples = read_sample_names(args.sample_names) if args.sample_names else None
+    data = read_pileup(args.pileup_file, samples=samples,
+                       min_baseq=args.min_baseq,
+                       prefer_native=not args.python)
+    if args.genes:
+        from .genecov import gene_coverage, read_gene_table
+        from .pileup import restrict_to_genes
+
+        genes = read_gene_table(args.genes)
+        if args.gene_cov:
+            gene_coverage(data, genes).to_csv(args.gene_cov)
+            print(f"extract: {len(genes.names)} genes -> {args.gene_cov}")
+        data, _ = restrict_to_genes(data, genes)
+    elif args.gene_cov:
+        print("extract: --gene_cov requires -G/--genes", file=sys.stderr)
+        return 2
+    io.write_counts_csv(args.output, data)
+    print(f"extract: {data.V} positions x {data.S} samples -> {args.output}")
+    return 0
+
+
 def _collate(argv) -> int:
     ap = argparse.ArgumentParser(
         prog="desman-collate",
@@ -364,6 +413,7 @@ _COMMANDS = {
     "resolvenhap": _resolvenhap,
     "validate": _validate,
     "genecov": _genecov,
+    "extract": _extract,
     "collate": _collate,
 }
 

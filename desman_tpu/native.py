@@ -22,15 +22,23 @@ _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(os.path.dirname(_PKG_DIR), "native", "countsio.cpp")
 _LIB_PATH = os.path.join(_PKG_DIR, _LIB_NAME)
 
+_PILEUP_SRC = os.path.join(os.path.dirname(_PKG_DIR), "native", "pileupio.cpp")
+_PILEUP_LIB_PATH = os.path.join(_PKG_DIR, "_libpileupio.so")
+
 _lib = None
+_pileup_lib = None
+
+
+def _compile(src: str, out: str) -> str:
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", out],
+        check=True, capture_output=True,
+    )
+    return out
 
 
 def _build() -> str:
-    subprocess.run(
-        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
-        check=True, capture_output=True,
-    )
-    return _LIB_PATH
+    return _compile(_SRC, _LIB_PATH)
 
 
 def _load():
@@ -68,6 +76,86 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+def _load_pileup():
+    global _pileup_lib
+    if _pileup_lib is not None:
+        return _pileup_lib
+    if not os.path.exists(_PILEUP_LIB_PATH) or (
+        os.path.exists(_PILEUP_SRC)
+        and os.path.getmtime(_PILEUP_SRC) > os.path.getmtime(_PILEUP_LIB_PATH)
+    ):
+        if not os.path.exists(_PILEUP_SRC):
+            raise RuntimeError("native source missing; use pileup.read_pileup_py")
+        _compile(_PILEUP_SRC, _PILEUP_LIB_PATH)
+    lib = ctypes.CDLL(_PILEUP_LIB_PATH)
+    lib.pileup_open.restype = ctypes.c_void_p
+    lib.pileup_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.pileup_error.restype = ctypes.c_char_p
+    lib.pileup_error.argtypes = [ctypes.c_void_p]
+    for fn in ("pileup_V", "pileup_S", "pileup_n_contigs"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.pileup_fill.restype = None
+    lib.pileup_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+    lib.pileup_contig_name.restype = ctypes.c_int64
+    lib.pileup_contig_name.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.pileup_close.restype = None
+    lib.pileup_close.argtypes = [ctypes.c_void_p]
+    _pileup_lib = lib
+    return lib
+
+
+def pileup_available() -> bool:
+    try:
+        _load_pileup()
+        return True
+    except Exception:
+        return False
+
+
+def read_pileup_native(path: str, samples=None, min_baseq: int = 0) -> CountsData:
+    """Parse a multi-sample mpileup file with the C++ scanner
+    (native/pileupio.cpp; same semantics as pileup.read_pileup_py)."""
+    lib = _load_pileup()
+    h = lib.pileup_open(path.encode(), int(min_baseq))
+    try:
+        err = lib.pileup_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        V = lib.pileup_V(h)
+        S = lib.pileup_S(h)
+        if V == 0 and S == 0:
+            raise ValueError(f"{path}: empty pileup")
+        counts = np.empty((V, S, 4), dtype=np.int32)
+        positions = np.empty(V, dtype=np.int64)
+        contig_ids = np.empty(V, dtype=np.int32)
+        refs = np.empty(V, dtype=np.uint8)
+        lib.pileup_fill(
+            h,
+            counts.ctypes.data_as(ctypes.c_void_p),
+            positions.ctypes.data_as(ctypes.c_void_p),
+            contig_ids.ctypes.data_as(ctypes.c_void_p),
+            refs.ctypes.data_as(ctypes.c_void_p),
+        )
+        buf = ctypes.create_string_buffer(4096)
+        names = []
+        for i in range(lib.pileup_n_contigs(h)):
+            lib.pileup_contig_name(h, i, buf, 4096)
+            names.append(buf.value.decode())
+        contigs = np.array(names, dtype=object)[contig_ids]
+        if samples is None:
+            samples = [f"Sample{i + 1}" for i in range(S)]
+        elif len(samples) != S:
+            raise ValueError(
+                f"{len(samples)} sample names for {S} pileup columns")
+        return CountsData(counts=counts, contigs=contigs,
+                          positions=positions, samples=list(samples))
+    finally:
+        lib.pileup_close(h)
 
 
 def read_counts_csv_native(path: str) -> CountsData:

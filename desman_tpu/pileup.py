@@ -1,0 +1,172 @@
+"""Pileup -> variant-count extraction (count-extraction layer).
+
+Equivalent of the reference's ``scripts/ExtractCountFreqGenes.py :: main``
+[M name — SURVEY.md §2 'Count extraction']: turn mapped-read pileups
+(multi-sample ``samtools mpileup`` text) into the ``Contig,Position,
+<sample>-A..T`` counts CSV the rest of the pipeline consumes, optionally
+restricted to gene regions (the reference restricts to core genes), and
+optionally emitting the per-gene mean-coverage matrix GeneAssign needs.
+
+Two parsers with identical semantics:
+  * :func:`read_pileup` — native C++ scanner (native/pileupio.cpp, ~50x
+    Python) when the shared library is buildable;
+  * :func:`read_pileup_py` — pure-Python fallback, also the differential-
+    testing oracle for the native one (tests/test_pileup.py).
+
+Pileup bases-column grammar handled (htslib encoding): ``. ,`` ref match,
+``ACGTNacgtn`` mismatch, ``^X`` read start (X = mapq char), ``$`` read end,
+``+NN<seq>/-NN<seq>`` indels (consumed), ``*`` deletion placeholder and
+``> <`` ref skips (cover the site, count no base). Bases with quality
+(phred+33) below ``min_baseq`` are dropped.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .io import CountsData
+
+_BASE_IDX = {"A": 0, "C": 1, "G": 2, "T": 3,
+             "a": 0, "c": 1, "g": 2, "t": 3}
+
+
+def _decode_bases_py(bases: str, quals: str, ref_idx: int, min_baseq: int,
+                     cnt: np.ndarray) -> None:
+    qi = 0
+    i = 0
+    blen = len(bases)
+    while i < blen:
+        c = bases[i]
+        if c == "^":
+            if i + 1 >= blen:
+                raise ValueError("dangling ^ in bases column")
+            i += 2
+            continue
+        if c == "$":
+            i += 1
+            continue
+        if c in "+-":
+            j = i + 1
+            while j < blen and bases[j].isdigit():
+                j += 1
+            if j == i + 1:
+                raise ValueError("malformed indel in bases column")
+            ln = int(bases[i + 1:j])
+            if j + ln > blen:
+                raise ValueError("malformed indel in bases column")
+            i = j + ln
+            continue
+        if qi >= len(quals):
+            raise ValueError("bases/quals length mismatch")
+        q = ord(quals[qi]) - 33
+        qi += 1
+        if c in ".,":
+            idx = ref_idx
+        elif c in "*><Nn":
+            idx = -1
+        else:
+            idx = _BASE_IDX.get(c, None)
+            if idx is None:
+                raise ValueError(f"unexpected symbol in bases column: {c!r}")
+        if idx >= 0 and q >= min_baseq:
+            cnt[idx] += 1
+        i += 1
+
+
+def read_pileup_py(path: str, samples=None, min_baseq: int = 0) -> CountsData:
+    """Pure-Python mpileup parser (oracle / fallback for the native one)."""
+    contigs, positions, rows = [], [], []
+    S = None
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.rstrip("\r\n")
+            if not line or line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            if len(fields) < 6 or (len(fields) - 3) % 3 != 0:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 3 + 3*S tab fields, "
+                    f"got {len(fields)}")
+            s_here = (len(fields) - 3) // 3
+            if S is None:
+                S = s_here
+            elif s_here != S:
+                raise ValueError(
+                    f"{path}:{lineno}: {s_here} samples, expected {S}")
+            ref = (fields[2] or "N")[0].upper()
+            ref_idx = _BASE_IDX.get(ref, -1)
+            cnt = np.zeros((S, 4), dtype=np.int32)
+            for s in range(S):
+                bases = fields[3 + 3 * s + 1]
+                quals = fields[3 + 3 * s + 2]
+                if bases == "*" and quals == "*":  # zero-depth sample
+                    continue
+                try:
+                    _decode_bases_py(bases, quals, ref_idx, min_baseq, cnt[s])
+                except ValueError as e:
+                    raise ValueError(
+                        f"{path}:{lineno} sample {s + 1}: {e}") from None
+            contigs.append(fields[0])
+            positions.append(int(fields[1]))
+            rows.append(cnt)
+    if S is None:
+        raise ValueError(f"{path}: empty pileup")
+    counts = (np.stack(rows) if rows
+              else np.zeros((0, S, 4), dtype=np.int32))
+    if samples is None:
+        samples = [f"Sample{i + 1}" for i in range(S)]
+    elif len(samples) != S:
+        raise ValueError(f"{len(samples)} sample names for {S} pileup columns")
+    return CountsData(counts=counts, contigs=np.array(contigs, dtype=object),
+                      positions=np.array(positions, dtype=np.int64),
+                      samples=list(samples))
+
+
+def read_pileup(path: str, samples=None, min_baseq: int = 0,
+                prefer_native: bool = True) -> CountsData:
+    """Parse a multi-sample mpileup file into a :class:`CountsData`.
+
+    Uses the C++ scanner when available, the Python parser otherwise.
+    """
+    if prefer_native:
+        try:
+            from .native import read_pileup_native
+
+            return read_pileup_native(path, samples=samples,
+                                      min_baseq=min_baseq)
+        except (RuntimeError, OSError):
+            pass
+    return read_pileup_py(path, samples=samples, min_baseq=min_baseq)
+
+
+def read_sample_names(path: str) -> list:
+    """One sample name per line (or comma/tab-separated single line)."""
+    with open(path) as f:
+        text = f.read().strip()
+    if "\n" in text:
+        return [ln.strip() for ln in text.splitlines() if ln.strip()]
+    return [t for t in re.split(r"[,\t]", text) if t]
+
+
+def restrict_to_genes(data: CountsData, genes) -> tuple:
+    """Keep only positions inside gene intervals.
+
+    ``genes`` is a :class:`desman_tpu.genecov.GeneTable` (gene, contig,
+    start, end; half-open, matching the genecov convention). Returns
+    (subset CountsData, gene label per kept position).
+    """
+    keep = []
+    labels = []
+    by_contig = {}
+    for g, c, s, e in zip(genes.names, genes.contigs.astype(str),
+                          genes.starts, genes.ends):
+        by_contig.setdefault(c, []).append((int(s), int(e), g))
+    for i, (c, p) in enumerate(zip(data.contigs, data.positions)):
+        for s, e, g in by_contig.get(c, ()):
+            if s <= p < e:
+                keep.append(i)
+                labels.append(g)
+                break
+    idx = np.asarray(keep, dtype=np.int64)
+    return data.select(idx), np.array(labels, dtype=object)
