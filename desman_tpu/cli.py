@@ -235,6 +235,10 @@ def _resolvenhap(argv) -> int:
                     help="relative deviance-improvement elbow cutoff")
     ap.add_argument("-u", "--unc_cutoff", type=float, default=0.1)
     ap.add_argument("-o", "--output_file", default=None)
+    ap.add_argument("-c", "--copy_dir", default=None,
+                    help="copy the chosen run's haplotype/abundance outputs "
+                    "here (the reference emits the chosen haplotypes, "
+                    "SURVEY.md §3.4)")
     args = ap.parse_args(argv)
 
     from .model_selection import resolve_nhap, scan_run_dirs
@@ -256,6 +260,20 @@ def _resolvenhap(argv) -> int:
     if args.output_file:
         with open(args.output_file, "w") as f:
             f.write("G,seed,uncertainty,mean_deviance,run_dir\n" + line + "\n")
+    if args.copy_dir:
+        import shutil
+
+        os.makedirs(args.copy_dir, exist_ok=True)
+        copied = 0
+        for name in ("Filtered_Tau_star.csv", "Tau_mean.csv", "Gamma_mean.csv",
+                     "Gamma_star.csv", "Eta_mean.csv", "Eta_star.csv",
+                     "fit.txt"):
+            src = os.path.join(sel.run_dir or "", name)
+            if sel.run_dir and os.path.isfile(src):
+                shutil.copy2(src, os.path.join(args.copy_dir, name))
+                copied += 1
+        print(f"resolvenhap: copied {copied} files from {sel.run_dir} "
+              f"-> {args.copy_dir}")
     return 0
 
 

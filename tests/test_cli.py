@@ -88,11 +88,19 @@ def test_resolvenhap_cli(workdir, tmp_path, capsys):
               "-i", "30", "-e", str(d / "tran_df.csv")])
         outs.append(out)
     rc = main(["resolvenhap", str(tmp_path / "run_*"),
-               "-o", str(tmp_path / "best.txt")])
+               "-o", str(tmp_path / "best.txt"),
+               "-c", str(tmp_path / "chosen")])
     assert rc == 0
     line = open(tmp_path / "best.txt").read().strip().splitlines()[1]
     G = int(line.split(",")[0])
     assert G == 2, f"picked G={G}"
+    # -c copies the chosen run's haplotype/abundance outputs (SURVEY.md §3.4)
+    chosen_dir = line.split(",")[4]
+    for name in ("Filtered_Tau_star.csv", "Gamma_mean.csv", "fit.txt"):
+        src = os.path.join(chosen_dir, name)
+        dst = os.path.join(str(tmp_path / "chosen"), name)
+        assert os.path.isfile(dst), name
+        assert open(dst).read() == open(src).read()
 
 
 def test_unknown_command():
