@@ -373,6 +373,26 @@ def _extract(argv) -> int:
     return 0
 
 
+def _strainfasta(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-strainfasta",
+        description="Write strain haplotype sequences from Filtered_Tau_star "
+        "calls (the pipeline's final artifact, SURVEY.md §3.5)",
+    )
+    ap.add_argument("tau_file", help="Filtered_Tau_star.csv")
+    ap.add_argument("-f", "--ref_fasta", default=None,
+                    help="bin contig FASTA: substitute strain bases into full "
+                    "contigs (default: variants-only haplotype strings)")
+    ap.add_argument("-o", "--output", default="strains.fasta")
+    args = ap.parse_args(argv)
+
+    from .strainfasta import write_strain_fasta
+
+    G = write_strain_fasta(args.tau_file, args.output, ref_fasta=args.ref_fasta)
+    print(f"strainfasta: {G} strains -> {args.output}")
+    return 0
+
+
 def _collate(argv) -> int:
     ap = argparse.ArgumentParser(
         prog="desman-collate",
@@ -432,6 +452,7 @@ _COMMANDS = {
     "validate": _validate,
     "genecov": _genecov,
     "extract": _extract,
+    "strainfasta": _strainfasta,
     "collate": _collate,
 }
 
