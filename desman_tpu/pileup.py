@@ -140,6 +140,43 @@ def read_pileup(path: str, samples=None, min_baseq: int = 0,
     return read_pileup_py(path, samples=samples, min_baseq=min_baseq)
 
 
+def write_pileup(path: str, data: CountsData, seed: int = 0) -> None:
+    """Render a CountsData back to mpileup text (the inverse transform).
+
+    For demos and tests: lets the examples start from mapped-read-level
+    input and exercise the extract path. The reference base per position is
+    the across-sample majority base; matching reads are written as ``.``/``,``
+    and mismatches as explicit letters, all at q40, with occasional read
+    start/end markers for realism. Round-trips exactly through
+    :func:`read_pileup`.
+    """
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    with open(path, "w") as f:
+        for v in range(data.V):
+            ref_idx = int(data.counts[v].sum(axis=0).argmax())
+            fields = [str(data.contigs[v]), str(int(data.positions[v])),
+                      bases[ref_idx]]
+            for s in range(data.S):
+                syms = []
+                for b in range(4):
+                    c = int(data.counts[v, s, b])
+                    if b == ref_idx:
+                        syms += ["." if rng.random() < 0.5 else ","] * c
+                    else:
+                        syms += [bases[b] if rng.random() < 0.5
+                                 else bases[b].lower()] * c
+                if not syms:
+                    fields += ["0", "*", "*"]
+                    continue
+                if rng.random() < 0.3:
+                    syms[0] = "^I" + syms[0]
+                if rng.random() < 0.3:
+                    syms[-1] = syms[-1] + "$"
+                fields += [str(len(syms)), "".join(syms), "I" * len(syms)]
+            f.write("\t".join(fields) + "\n")
+
+
 def read_sample_names(path: str) -> list:
     """One sample name per line (or comma/tab-separated single line)."""
     with open(path) as f:

@@ -167,6 +167,26 @@ def test_sample_names(tmp_path):
         read_pileup_py(str(path), samples=["only_one"])
 
 
+def test_write_pileup_roundtrip(tmp_path):
+    """write_pileup (demo inverse transform) round-trips exactly."""
+    from desman_tpu.pileup import write_pileup
+
+    rng = np.random.default_rng(11)
+    counts = rng.integers(0, 8, size=(25, 4, 4)).astype(np.int32)
+    data = io.CountsData(
+        counts=counts,
+        contigs=np.array([f"c{i % 2}" for i in range(25)], dtype=object),
+        positions=np.arange(1, 26, dtype=np.int64),
+        samples=[f"s{i}" for i in range(4)],
+    )
+    path = str(tmp_path / "rt.pileup")
+    write_pileup(path, data)
+    back = read_pileup(path, samples=data.samples)
+    np.testing.assert_array_equal(back.counts, data.counts)
+    np.testing.assert_array_equal(back.positions, data.positions)
+    assert back.samples == data.samples
+
+
 def test_extract_cli(tmp_path):
     rng = np.random.default_rng(3)
     pl = tmp_path / "x.pileup"
