@@ -179,6 +179,8 @@ def _geneassign(argv) -> int:
 
     gamma = io.read_gamma_csv(args.gamma_file)          # [S,G]
     gdf = pd.read_csv(args.gene_cov_file, index_col=0)  # [D,S]
+    # genecov/extract prepend an n_positions metadata column — not a sample
+    gdf = gdf.drop(columns=["n_positions"], errors="ignore")
     gene_cov = gdf.to_numpy(dtype=np.float64)
     if args.total_cov_file:
         total = pd.read_csv(args.total_cov_file, index_col=0).to_numpy().ravel()
@@ -349,6 +351,10 @@ def _extract(argv) -> int:
                     help="force the pure-Python parser")
     args = ap.parse_args(argv)
 
+    if args.gene_cov and not args.genes:
+        print("extract: --gene_cov requires -G/--genes", file=sys.stderr)
+        return 2
+
     from . import io
     from .pileup import read_pileup, read_sample_names
 
@@ -365,9 +371,6 @@ def _extract(argv) -> int:
             gene_coverage(data, genes).to_csv(args.gene_cov)
             print(f"extract: {len(genes.names)} genes -> {args.gene_cov}")
         data, _ = restrict_to_genes(data, genes)
-    elif args.gene_cov:
-        print("extract: --gene_cov requires -G/--genes", file=sys.stderr)
-        return 2
     io.write_counts_csv(args.output, data)
     print(f"extract: {data.V} positions x {data.S} samples -> {args.output}")
     return 0

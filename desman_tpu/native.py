@@ -78,10 +78,24 @@ def available() -> bool:
         return False
 
 
+_pileup_load_error = None
+
+
 def _load_pileup():
-    global _pileup_lib
+    global _pileup_lib, _pileup_load_error
     if _pileup_lib is not None:
         return _pileup_lib
+    if _pileup_load_error is not None:  # don't re-run a failing compile
+        raise _pileup_load_error
+    try:
+        _pileup_lib = _load_pileup_uncached()
+    except Exception as e:
+        _pileup_load_error = RuntimeError(f"native pileup lib unavailable: {e}")
+        raise _pileup_load_error
+    return _pileup_lib
+
+
+def _load_pileup_uncached():
     if not os.path.exists(_PILEUP_LIB_PATH) or (
         os.path.exists(_PILEUP_SRC)
         and os.path.getmtime(_PILEUP_SRC) > os.path.getmtime(_PILEUP_LIB_PATH)
@@ -105,7 +119,6 @@ def _load_pileup():
     ]
     lib.pileup_close.restype = None
     lib.pileup_close.argtypes = [ctypes.c_void_p]
-    _pileup_lib = lib
     return lib
 
 

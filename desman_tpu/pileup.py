@@ -48,7 +48,7 @@ def _decode_bases_py(bases: str, quals: str, ref_idx: int, min_baseq: int,
             continue
         if c in "+-":
             j = i + 1
-            while j < blen and bases[j].isdigit():
+            while j < blen and "0" <= bases[j] <= "9":  # ASCII only, like C++
                 j += 1
             if j == i + 1:
                 raise ValueError("malformed indel in bases column")
@@ -130,13 +130,14 @@ def read_pileup(path: str, samples=None, min_baseq: int = 0,
     Uses the C++ scanner when available, the Python parser otherwise.
     """
     if prefer_native:
-        try:
-            from .native import read_pileup_native
+        from . import native
 
-            return read_pileup_native(path, samples=samples,
-                                      min_baseq=min_baseq)
-        except (RuntimeError, OSError):
-            pass
+        # gate on availability (any load/compile failure -> Python parser);
+        # actual parse errors (ValueError) propagate — the oracle would
+        # raise the same error after re-reading the whole file
+        if native.pileup_available():
+            return native.read_pileup_native(path, samples=samples,
+                                             min_baseq=min_baseq)
     return read_pileup_py(path, samples=samples, min_baseq=min_baseq)
 
 
@@ -193,17 +194,24 @@ def restrict_to_genes(data: CountsData, genes) -> tuple:
     start, end; half-open, matching the genecov convention). Returns
     (subset CountsData, gene label per kept position).
     """
-    keep = []
-    labels = []
-    by_contig = {}
-    for g, c, s, e in zip(genes.names, genes.contigs.astype(str),
-                          genes.starts, genes.ends):
-        by_contig.setdefault(c, []).append((int(s), int(e), g))
-    for i, (c, p) in enumerate(zip(data.contigs, data.positions)):
-        for s, e, g in by_contig.get(c, ()):
-            if s <= p < e:
-                keep.append(i)
-                labels.append(g)
-                break
-    idx = np.asarray(keep, dtype=np.int64)
-    return data.select(idx), np.array(labels, dtype=object)
+    # same lexsort + searchsorted scheme as genecov.gene_coverage: O((V+D)logV)
+    contig_str = data.contigs.astype(str)
+    order = np.lexsort((data.positions, contig_str))
+    sorted_contigs = contig_str[order]
+    sorted_pos = data.positions[order]
+    gene_of = np.full(data.V, -1, dtype=np.int64)  # sorted-index -> gene id
+    for gi, (contig, start, end) in enumerate(zip(
+            genes.contigs.astype(str), genes.starts, genes.ends)):
+        lo = np.searchsorted(sorted_contigs, contig, side="left")
+        hi = np.searchsorted(sorted_contigs, contig, side="right")
+        a = lo + np.searchsorted(sorted_pos[lo:hi], start, side="left")
+        b = lo + np.searchsorted(sorted_pos[lo:hi], end, side="left")
+        hit = gene_of[a:b] == -1  # first matching gene wins, as before
+        gene_of[a:b][hit] = gi
+    sel = gene_of >= 0
+    idx = np.sort(order[sel])  # original file order
+    # recompute labels in original order
+    gene_by_orig = np.full(data.V, -1, dtype=np.int64)
+    gene_by_orig[order] = gene_of
+    labels = np.array([genes.names[g] for g in gene_by_orig[idx]], dtype=object)
+    return data.select(idx), labels

@@ -28,12 +28,15 @@ def read_fasta(path: str) -> dict:
     seqs = {}
     name, chunks = None, []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.rstrip("\n")
             if line.startswith(">"):
                 if name is not None:
                     seqs[name] = "".join(chunks)
-                name = line[1:].split()[0]
+                tokens = line[1:].split()
+                if not tokens:
+                    raise ValueError(f"{path}:{lineno}: empty FASTA header")
+                name = tokens[0]
                 chunks = []
             elif line:
                 chunks.append(line)
@@ -46,19 +49,20 @@ def strain_sequences(tau_idx: np.ndarray, contigs, positions,
                      ref_seqs: dict) -> dict:
     """strain g -> {contig -> sequence with strain bases substituted}.
 
+    Every reference contig is emitted (contigs without variant calls are
+    identical across strains — they are still part of each strain's genome).
     Raises on positions outside the reference contig (off-by-one and
     wrong-reference mistakes surface loudly instead of as silent truncation).
     """
     V, G = tau_idx.shape
-    out = {g: {} for g in range(G)}
-    touched = set()
-    for c, p in zip(contigs, positions):
-        touched.add(str(c))
-    for name in touched:
-        if name not in ref_seqs:
-            raise ValueError(f"contig {name!r} not in reference FASTA")
+    touched = {str(c) for c in contigs}
+    missing = touched - set(ref_seqs)
+    if missing:
+        raise ValueError(
+            f"contigs {sorted(missing)} not in reference FASTA")
+    out = {}
     for g in range(G):
-        seqs = {name: list(ref_seqs[name]) for name in touched}
+        seqs = {name: list(s) for name, s in ref_seqs.items()}
         for v in range(V):
             name = str(contigs[v])
             pos = int(positions[v]) - 1  # 1-based -> 0-based

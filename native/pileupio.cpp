@@ -154,6 +154,15 @@ PileupFile* parse(const char* path, int min_baseq) {
       pf->error = buf;
       break;
     }
+    char* endp = nullptr;
+    int64_t pos = std::strtoll(f[1], &endp, 10);
+    if (endp == f[1] || *endp != '\0') {
+      char buf[128];
+      std::snprintf(buf, sizeof buf, "line %lld: malformed position field",
+                    (long long)lineno);
+      pf->error = buf;
+      break;
+    }
     std::string contig(f[0], fl[0]);
     auto it = contig_id.find(contig);
     int32_t cid;
@@ -165,7 +174,7 @@ PileupFile* parse(const char* path, int min_baseq) {
       cid = it->second;
     }
     pf->contig_ids.push_back(cid);
-    pf->positions.push_back(std::strtoll(f[1], nullptr, 10));
+    pf->positions.push_back(pos);
     char ref = fl[2] ? f[2][0] : 'N';
     if (ref >= 'a' && ref <= 'z') ref = (char)(ref - 'a' + 'A');
     pf->refs.push_back(ref);

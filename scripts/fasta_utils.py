@@ -15,15 +15,22 @@ import sys
 
 
 def iter_fasta(path):
-    """Yield (name, sequence) from a FASTA file (plain text)."""
+    """Yield (name, sequence) from a FASTA file (plain text).
+
+    Kept dependency-free on purpose (this script runs standalone, outside
+    the package); desman_tpu.strainfasta.read_fasta is the in-package twin.
+    """
     name, chunks = None, []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.rstrip("\n")
             if line.startswith(">"):
                 if name is not None:
                     yield name, "".join(chunks)
-                name = line[1:].split()[0]
+                tokens = line[1:].split()
+                if not tokens:
+                    raise ValueError(f"{path}:{lineno}: empty FASTA header")
+                name = tokens[0]
                 chunks = []
             elif line:
                 chunks.append(line)

@@ -79,6 +79,33 @@ def test_geneassign_cli(workdir, tmp_path):
     assert (calls == etaG).mean() > 0.9
 
 
+def test_geneassign_cli_tolerates_n_positions(workdir, tmp_path):
+    """gene_cov.csv from genecov/extract has an n_positions metadata column;
+    geneassign must not read it as a sample (review regression)."""
+    d, t = workdir
+    io.write_gamma_csv(str(tmp_path / "Gamma_mean.csv"), t.gamma, t.data.samples)
+    rng = np.random.default_rng(2)
+    total = np.full(t.data.S, 40.0)
+    cov = (t.gamma * total[:, None]).T
+    etaG = rng.integers(0, 2, size=(20, t.gamma.shape[1]))
+    etaG[etaG.sum(1) == 0, 0] = 1
+    x = rng.poisson(etaG @ cov)
+    df = pd.DataFrame(x, index=[f"gene{i}" for i in range(20)],
+                      columns=t.data.samples)
+    df.insert(0, "n_positions", 100)  # the genecov metadata column
+    df.to_csv(tmp_path / "gene_cov.csv")
+    pd.DataFrame({"cov": total}, index=t.data.samples).to_csv(
+        tmp_path / "total.csv")
+    stub = str(tmp_path / "ganp_")
+    rc = main(["geneassign", "-g", str(tmp_path / "Gamma_mean.csv"),
+               "-c", str(tmp_path / "gene_cov.csv"),
+               "-t", str(tmp_path / "total.csv"), "-o", stub])
+    assert rc == 0
+    calls = pd.read_csv(stub + "etaS_df.csv", index_col=0).to_numpy()
+    assert calls.shape == etaG.shape
+    assert (calls == etaG).mean() > 0.9
+
+
 def test_resolvenhap_cli(workdir, tmp_path, capsys):
     d, t = workdir
     outs = []

@@ -145,6 +145,8 @@ def test_malformed_raises(tmp_path):
         "dangling": "c\t1\tA\t1\t.^\tI\n",         # ^ at end
         "qual_short": "c\t1\tA\t2\t..\tI\n",       # quals too short
         "indel": "c\t1\tA\t1\t.+\tI\n",            # indel with no length
+        "position": "c\tabc\tA\t1\t.\tI\n",        # non-numeric position
+        "position2": "c\t1x\tA\t1\t.\tI\n",        # trailing junk in position
     }
     for name, text in bad.items():
         path = tmp_path / f"{name}.pileup"
@@ -154,6 +156,39 @@ def test_malformed_raises(tmp_path):
         if native.pileup_available():
             with pytest.raises(ValueError):
                 native.read_pileup_native(str(path))
+
+
+def test_gene_restrict_matches_bruteforce(tmp_path):
+    """restrict_to_genes (searchsorted) == the obvious O(V*D) loop."""
+    from desman_tpu.genecov import GeneTable
+    from desman_tpu.pileup import restrict_to_genes
+
+    rng = np.random.default_rng(5)
+    V = 200
+    data = io.CountsData(
+        counts=rng.integers(0, 5, size=(V, 3, 4)).astype(np.int32),
+        contigs=np.array([f"c{i % 4}" for i in range(V)], dtype=object),
+        positions=np.asarray(rng.integers(0, 500, size=V), dtype=np.int64),
+        samples=["a", "b", "c"],
+    )
+    genes = GeneTable(
+        names=[f"g{i}" for i in range(10)],
+        contigs=np.array([f"c{i % 4}" for i in range(10)]),
+        starts=np.asarray(rng.integers(0, 400, size=10), dtype=np.int64),
+        ends=np.asarray(rng.integers(400, 520, size=10), dtype=np.int64),
+    )
+    sub, labels = restrict_to_genes(data, genes)
+    expect = []
+    for i, (c, p) in enumerate(zip(data.contigs, data.positions)):
+        for g, gc, s, e in zip(genes.names, genes.contigs.astype(str),
+                               genes.starts, genes.ends):
+            if c == gc and s <= p < e:
+                expect.append((i, g))
+                break
+    assert sub.V == len(expect)
+    np.testing.assert_array_equal(sub.positions,
+                                  data.positions[[i for i, _ in expect]])
+    assert list(labels) == [g for _, g in expect]
 
 
 def test_sample_names(tmp_path):

@@ -53,6 +53,25 @@ def test_cli_full_and_variants(tau_files, tmp_path):
     assert seqs2 == {"hap1": "ACG", "hap2": "TCA"}
 
 
+def test_untouched_contigs_emitted(tau_files, tmp_path):
+    """Contigs without variant calls still appear in every strain genome."""
+    tau_csv, _, _ = tau_files
+    ref = tmp_path / "ref3.fasta"
+    ref.write_text(">c1\nTTTTTT\n>c2\nCCC\n>c3_novars\nAAAA\n")
+    out = tmp_path / "full.fasta"
+    assert main(["strainfasta", str(tau_csv), "-f", str(ref),
+                 "-o", str(out)]) == 0
+    seqs = read_fasta(str(out))
+    assert seqs["c3_novars_hap1"] == "AAAA" and seqs["c3_novars_hap2"] == "AAAA"
+
+
+def test_bare_header_raises(tmp_path):
+    bad = tmp_path / "bad.fasta"
+    bad.write_text(">\nACGT\n")
+    with pytest.raises(ValueError, match="empty FASTA header"):
+        read_fasta(str(bad))
+
+
 def test_errors(tau_files, tmp_path):
     tau_csv, ref, _ = tau_files
     bad_ref = tmp_path / "bad.fasta"
