@@ -58,6 +58,11 @@ def _desman(argv) -> int:
                     help="write a jax.profiler device trace to this dir")
     ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
                     help="tau-sweep implementation")
+    ap.add_argument("--pt", type=int, default=0, metavar="R",
+                    help="parallel tempering with R replicas (better mixing "
+                    "on multimodal posteriors; incompatible with --chains/"
+                    "--mesh/-t/-f/--checkpoint)")
+    ap.add_argument("--pt_max_temp", type=float, default=8.0)
     ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
                     help="shard over a device mesh, e.g. 2x4 (chain x "
                     "position axes); requires --chains >= chain axis")
@@ -76,7 +81,12 @@ def _desman(argv) -> int:
         checkpoint_every=args.checkpoint_every, profile_dir=args.profile,
         tau_file=args.tau_fixed or args.tau_init,
         fix_tau=args.tau_fixed is not None,
+        pt_replicas=args.pt, pt_max_temp=args.pt_max_temp,
     )
+    if args.pt >= 2 and (args.chains > 1 or args.mesh or args.checkpoint):
+        print("desman: --pt is incompatible with --chains/--mesh/--checkpoint",
+              file=sys.stderr)
+        return 2
     tau_sweep = None
     if args.kernel == "pallas":
         from .ops import tau_sweep_pallas

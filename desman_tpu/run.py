@@ -45,6 +45,8 @@ class RunConfig:
     profile_dir: Optional[str] = None       # jax.profiler trace output
     tau_file: Optional[str] = None          # -t/-f: tau-star CSV to init from
     fix_tau: bool = False                   # -f: freeze tau (fit gamma/eta only)
+    pt_replicas: int = 0                    # >=2: parallel tempering rungs
+    pt_max_temp: float = 8.0                # hottest rung temperature
 
 
 def prepare_data(
@@ -121,6 +123,16 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
                 n, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
                 checkpoint_every=rc.checkpoint_every, eta_init=eta_init,
                 tau_init=tau_init, tau_sweep=tau_sweep or tau_sweep_xla,
+            )
+        elif rc.pt_replicas >= 2:
+            from .sampler import run_chain_pt
+
+            if tau_init is not None:
+                raise ValueError("tau_file is not supported with pt_replicas")
+            res = run_chain_pt(
+                n, cfg, jax.random.PRNGKey(rc.seed),
+                n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp,
+                eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
             )
         else:
             res = run_chain(
@@ -228,6 +240,8 @@ def write_outputs(
         "star_deviance": star_dev,
         "accept_gamma": float(res.accept_gamma),
         "accept_eta": float(res.accept_eta),
+        **({"pt_swap_accept": float(res.pt_swap_accept)}
+           if res.pt_swap_accept is not None else {}),
         "final_loglik": float(np.asarray(res.loglik_trace)[-1]),
         "elapsed_s": elapsed,
         "sweeps_per_s": (cfg.total_sweeps / elapsed) if elapsed else None,

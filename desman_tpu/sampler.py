@@ -117,6 +117,8 @@ class SamplerResult(NamedTuple):
     tau_samples: Optional[jax.Array] = None    # int8 [sweeps,V,G]
     gamma_samples: Optional[jax.Array] = None  # [sweeps,S,G]
     eta_samples: Optional[jax.Array] = None    # [sweeps,4,4]
+    # replica exchange only (run_chain_pt): mean adjacent-swap acceptance
+    pt_swap_accept: Optional[jax.Array] = None
 
 
 def _dirichlet_logpdf(x, alpha):
@@ -180,10 +182,11 @@ def tau_sweep_xla(n, tau, mix, gamma, eta, key, temp=1.0):
     return jax.lax.fori_loop(0, G, body, (tau, mix))
 
 
-def tau_swap_move(n, tau, mix, gamma, eta, key):
+def tau_swap_move(n, tau, mix, gamma, eta, key, beta=1.0):
     """Per-position pairwise swap move: propose exchanging strains (g, h)'s
     bases at every position, accept by per-position MH (positions are
-    independent given gamma/eta; the proposal is symmetric).
+    independent given gamma/eta; the proposal is symmetric). beta tempers
+    the likelihood (replica exchange, run_chain_pt).
 
     Single-site Gibbs cannot cross between the 'label-swapped' modes of a
     position's joint posterior when the intermediate states are unlikely
@@ -210,7 +213,7 @@ def tau_swap_move(n, tau, mix, gamma, eta, key):
 
     ll_old = heinsum("vsb->v", n * safe_log(heinsum("vsa,ab->vsb", mix, eta)))
     ll_new = heinsum("vsb->v", n * safe_log(heinsum("vsa,ab->vsb", mix_prop, eta)))
-    accept = safe_log(jax.random.uniform(k_u, (V,))) < (ll_new - ll_old)
+    accept = safe_log(jax.random.uniform(k_u, (V,))) < beta * (ll_new - ll_old)
 
     new_tau_g = jnp.where(accept, tau_h, tau_g)
     new_tau_h = jnp.where(accept, tau_g, tau_h)
@@ -231,8 +234,13 @@ def _set_col(x, j, col):
 # gamma / eta MH updates
 # --------------------------------------------------------------------------
 
-def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None):
-    """Parallel per-sample Dirichlet-random-walk MH (SURVEY.md §0.1)."""
+def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None,
+               beta=1.0):
+    """Parallel per-sample Dirichlet-random-walk MH (SURVEY.md §0.1).
+
+    beta < 1 tempers the likelihood term only (prior/proposal corrections
+    untempered) — the replica-exchange target pi_beta = prior * L^beta.
+    """
     if kappa is None:
         kappa = cfg.kappa_gamma
     k_prop, k_u = jax.random.split(key)
@@ -251,7 +259,7 @@ def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None):
     )
     # symmetric Dirichlet(1) prior on gamma rows -> prior ratio = 0
     log_ratio = (
-        ll_new - ll_old
+        beta * (ll_new - ll_old)
         + _dirichlet_logpdf(gamma, alpha_rev)
         - _dirichlet_logpdf(gamma_prop, alpha_fwd)
     )
@@ -261,8 +269,13 @@ def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None):
     return gamma, mix, jnp.mean(accept.astype(jnp.float32))
 
 
-def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None):
-    """Sequential per-row Dirichlet MH on the 4x4 error matrix."""
+def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None,
+             beta=1.0):
+    """Sequential per-row Dirichlet MH on the 4x4 error matrix.
+
+    beta tempers the likelihood term only; the carried/returned loglik is
+    always the untempered one (star tracking and replica exchange use it).
+    """
     if kappa is None:
         kappa = cfg.kappa_eta
     prior_alpha = (
@@ -284,7 +297,7 @@ def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None):
         ll_new = _loglik(n, mix, eta_prop)
         prior_row = jax.lax.dynamic_slice_in_dim(prior_alpha, a, 1, axis=0)[0]
         log_ratio = (
-            ll_new - loglik
+            beta * (ll_new - loglik)
             + jnp.sum((prior_row - 1.0) * (safe_log(row_prop) - safe_log(row)))
             + _dirichlet_logpdf(row, alpha_rev)
             - _dirichlet_logpdf(row_prop, alpha_fwd)
@@ -305,9 +318,17 @@ def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None):
 # --------------------------------------------------------------------------
 
 def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
-    """Build the (state, accum, sweep_idx) -> (state, accum, loglik) step."""
+    """Build the (state, accum, sweep_idx) -> (state, accum, loglik) step.
 
-    def sweep(n, state: SamplerState, accum: SamplerAccum, it):
+    Optional trailing args: ``temp`` overrides the annealing schedule with a
+    fixed tau-tempering temperature and ``beta`` tempers every MH acceptance
+    (likelihood term only) — together they make the sweep target
+    pi_beta = prior * L^beta, the per-replica kernel of run_chain_pt
+    (pass temp = 1/beta for a consistent tempered target).
+    """
+
+    def sweep(n, state: SamplerState, accum: SamplerAccum, it,
+              temp=None, beta=1.0):
         key = jax.random.fold_in(state.key, it)
         k_tau, k_gamma, k_eta = jax.random.split(key, 3)
 
@@ -318,15 +339,16 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
             # T0 -> 1 over the first anneal_frac of burn, escaping the
             # local optima that stall low-abundance strains (post-anneal
             # sweeps are exact Gibbs, so the posterior is untouched)
-            if cfg.anneal_temp0 > 1.0 and cfg.burn > 0:
-                anneal_sweeps = max(int(cfg.burn * cfg.anneal_frac), 1)
-                temp = jnp.maximum(
-                    1.0,
-                    jnp.float32(cfg.anneal_temp0)
-                    ** (1.0 - it.astype(jnp.float32) / anneal_sweeps),
-                )
-            else:
-                temp = 1.0
+            if temp is None:
+                if cfg.anneal_temp0 > 1.0 and cfg.burn > 0:
+                    anneal_sweeps = max(int(cfg.burn * cfg.anneal_frac), 1)
+                    temp = jnp.maximum(
+                        1.0,
+                        jnp.float32(cfg.anneal_temp0)
+                        ** (1.0 - it.astype(jnp.float32) / anneal_sweeps),
+                    )
+                else:
+                    temp = 1.0
             tau, mix = tau_sweep(
                 n, state.tau, state.mix, state.gamma, state.eta, k_tau,
                 temp=temp,
@@ -334,21 +356,22 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
             if cfg.swap_moves and cfg.G > 1:
                 tau, mix = tau_swap_move(
                     n, tau, mix, state.gamma, state.eta,
-                    jax.random.fold_in(k_tau, 12345),
+                    jax.random.fold_in(k_tau, 12345), beta=beta,
                 )
         if cfg.fix_gamma:
             gamma, acc_g = state.gamma, jnp.float32(0.0)
         else:
             gamma, mix, acc_g = gamma_step(
                 cfg, n, tau, mix, state.gamma, state.eta, k_gamma,
-                kappa=state.kappa_gamma,
+                kappa=state.kappa_gamma, beta=beta,
             )
         loglik = _loglik(n, mix, state.eta)
         if cfg.fix_eta:
             eta, acc_e = state.eta, jnp.float32(0.0)
         else:
             eta, loglik, acc_e = eta_step(
-                cfg, n, mix, state.eta, loglik, k_eta, kappa=state.kappa_eta
+                cfg, n, mix, state.eta, loglik, k_eta, kappa=state.kappa_eta,
+                beta=beta,
             )
 
         # diminishing adaptation, burn-in only: larger kappa -> smaller
@@ -493,6 +516,104 @@ def run_chain(
         tau_samples=tau_s,
         gamma_samples=gamma_s,
         eta_samples=eta_s,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_replicas", "tau_sweep"))
+def run_chain_pt(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    n_replicas: int = 4,
+    max_temp: float = 8.0,
+    eta_init: Optional[jax.Array] = None,
+    tau_init: Optional[jax.Array] = None,
+    gamma_init: Optional[jax.Array] = None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """Parallel tempering (replica exchange) — a convergence upgrade the
+    reference has no analogue for (its mitigation is independent restarts,
+    SURVEY.md §2.2 'multi-chain parallel').
+
+    R replicas run one per temperature rung T_r = max_temp^(r/(R-1)) (slot 0
+    cold, T=1), each targeting pi_r = prior * L^(1/T_r): the tau Gibbs
+    conditional is raised to 1/T_r via the Gumbel-temperature trick and every
+    MH acceptance scales its likelihood term by 1/T_r. After every sweep,
+    adjacent rungs (alternating parity) propose a state exchange accepted
+    with prob min(1, exp((b_r - b_{r+1}) (ll_{r+1} - ll_r))) — the priors
+    are untempered on every rung so they cancel. Only the cold slot's
+    samples/star are recorded; hot replicas exist to carry the chain across
+    posterior modes (label-permutation and strain-splitting modes) that
+    single-temperature Gibbs crosses exponentially slowly.
+
+    Replicas are vmapped — on a (chain, data) mesh they shard like chains.
+    Cost: R x one chain; exchange overhead is R scalars per sweep.
+    """
+    if cfg.store_samples:
+        raise ValueError("store_samples is not supported with run_chain_pt")
+    n = n.astype(jnp.float32)
+    V, S, _ = n.shape
+    R = int(n_replicas)
+    if R < 2:
+        return run_chain(n, cfg, key, eta_init=eta_init, tau_init=tau_init,
+                         gamma_init=gamma_init, tau_sweep=tau_sweep)
+    k_init, k_swap = jax.random.split(key)
+    keys = jax.random.split(k_init, R)
+    states = jax.vmap(
+        lambda k: init_state(n, cfg, k, eta_init, tau_init, gamma_init)
+    )(keys)
+    temps = jnp.float32(max_temp) ** (jnp.arange(R, dtype=jnp.float32) / (R - 1))
+    betas = 1.0 / temps
+    accum0 = init_accum(V, S, cfg.G)
+    accums = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (R,) + jnp.shape(x)), accum0
+    )
+    sweep = make_sweep_fn(cfg, tau_sweep)
+    idx = jnp.arange(R)
+
+    def step(carry, it):
+        states, accums = carry
+        states, accums, lls = jax.vmap(
+            lambda st, ac, t, b: sweep(n, st, ac, it, temp=t, beta=b)
+        )(states, accums, temps, betas)
+
+        # adjacent-rung exchange, alternating pair parity by sweep
+        ll = states.loglik                                   # [R]
+        delta = (betas - jnp.roll(betas, -1)) * (jnp.roll(ll, -1) - ll)
+        is_head = ((idx % 2) == (it % 2)) & (idx + 1 < R)
+        u = jax.random.uniform(jax.random.fold_in(k_swap, it), (R,))
+        acc = is_head & (safe_log(u) < delta)
+        acc_prev = jnp.concatenate([jnp.zeros((1,), bool), acc[:-1]])
+        perm = jnp.where(acc, idx + 1, jnp.where(acc_prev, idx - 1, idx))
+        swapped = jax.tree_util.tree_map(lambda x: x[perm], states)
+        # configurations move between rungs; RNG streams and adapted
+        # proposal scales stay with their temperature slot
+        states = swapped._replace(
+            key=states.key, kappa_gamma=states.kappa_gamma,
+            kappa_eta=states.kappa_eta,
+        )
+        n_heads = jnp.maximum(jnp.sum(is_head.astype(jnp.float32)), 1.0)
+        rate = jnp.sum(acc.astype(jnp.float32)) / n_heads
+        return (states, accums), (lls[0], rate)
+
+    (states, accums), (trace, rates) = jax.lax.scan(
+        step, (states, accums), jnp.arange(cfg.total_sweeps)
+    )
+    accum = jax.tree_util.tree_map(lambda x: x[0], accums)
+    n_s = jnp.maximum(accum.n_samples, 1.0)
+    return SamplerResult(
+        tau_mean=accum.sum_tau / n_s,
+        tau_star=accum.star_tau,
+        gamma_mean=accum.sum_gamma / n_s,
+        gamma_star=accum.star_gamma,
+        eta_mean=accum.sum_eta / n_s,
+        eta_star=accum.star_eta,
+        mean_loglik=accum.sum_loglik / n_s,
+        star_loglik=accum.star_loglik,
+        loglik_trace=trace,
+        accept_gamma=accum.acc_gamma / cfg.total_sweeps,
+        accept_eta=accum.acc_eta / cfg.total_sweeps,
+        pt_swap_accept=jnp.mean(rates),
     )
 
 
