@@ -1,0 +1,194 @@
+"""Whole-surface benchmark suite (beyond bench.py's single north-star line).
+
+Measures every hot path on the ambient backend (the tunneled TPU chip under
+axon; CPU elsewhere) and prints one JSON line per entry plus a markdown
+table for PERF.md. bench.py remains the driver's single-number entry point;
+this suite is for tracking the rest of the framework:
+
+  full_sweep            V=1e4 x S=64 x G=8 Gibbs sweep (pallas + xla paths)
+  full_sweep_chains4    4 vmapped chains, aggregate sweeps/s/chip
+  full_sweep_scale      V=1e5 x S=96 x G=16 (BASELINE config #5, one chip)
+  filter                variant filter throughput, V=1e5 x S=64 (positions/s)
+  geneassign            exact-enumeration gene assignment, D=5e3 x G=8 (genes/s)
+  extract_native/python mpileup parsing throughput (MB/s)
+  csv_native/pandas     counts-CSV ingestion throughput (MB/s)
+
+Run from the repo root:  python scripts/bench_suite.py [--quick]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _median_time(fn, reps=3):
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def bench_sweeps(results, quick):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from desman_tpu import synth
+    from desman_tpu.sampler import SamplerConfig, run_chain, run_chains
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    sweeps = 30 if quick else 100
+
+    def one(name, V, S, G, kernel, chains=None):
+        t = synth.generate(V=V, S=S, G=G, coverage=50.0, seed=0)
+        n = jnp.asarray(t.data.counts, jnp.float32)
+        cfg = SamplerConfig(G=G, burn=0, samples=sweeps, nmf_iters=30)
+        if kernel == "pallas":
+            from desman_tpu.ops import tau_sweep_pallas
+
+            if not on_tpu:
+                return  # interpreter mode is not a perf measurement
+            runner = partial(run_chain, tau_sweep=tau_sweep_pallas)
+        else:
+            runner = run_chain
+
+        if chains:
+            seeds = list(range(chains))
+
+            def go(i=[0]):
+                i[0] += 1
+                r = run_chains(n, cfg, [s + i[0] for s in seeds])
+                np.asarray(r.mean_loglik)
+        else:
+            def go(i=[0]):
+                i[0] += 1
+                r = runner(n, cfg, jax.random.PRNGKey(i[0]))
+                np.asarray(r.loglik_trace)
+
+        go()  # compile
+        el = _median_time(go)
+        total = sweeps * (chains or 1)
+        results.append({
+            "bench": name, "value": round(total / el, 2), "unit": "sweeps/s",
+            "config": f"V={V} S={S} G={G}" + (f" chains={chains}" if chains else ""),
+        })
+
+    one("full_sweep_xla", 10_000, 64, 8, "xla")
+    one("full_sweep_pallas", 10_000, 64, 8, "pallas")
+    one("full_sweep_chains4", 10_000, 64, 8, "xla", chains=4)
+    if not quick:
+        one("full_sweep_scale", 100_000, 96, 16, "pallas" if on_tpu else "xla")
+
+
+def bench_filter(results, quick):
+    import jax
+
+    from desman_tpu import synth
+    from desman_tpu.filter import FilterConfig, filter_variants
+
+    V = 20_000 if quick else 100_000
+    t = synth.generate(V=V, S=64, G=4, coverage=50.0, seed=1)
+
+    def go():
+        r = filter_variants(t.data, FilterConfig())
+        np.asarray(r.selected)
+
+    go()
+    el = _median_time(go)
+    results.append({"bench": "filter", "value": round(V / el, 1),
+                    "unit": "positions/s", "config": f"V={V} S=64"})
+
+
+def bench_geneassign(results, quick):
+    from desman_tpu.geneassign import GeneAssignConfig, assign_genes
+
+    D, G, S = (1000, 8, 64) if quick else (5000, 8, 64)
+    rng = np.random.default_rng(0)
+    gamma = rng.dirichlet(np.ones(G), size=S)
+    cov = (gamma * 40.0).T
+    etaG = rng.integers(0, 2, size=(D, G))
+    x = rng.poisson(etaG @ cov).astype(np.float64)
+
+    def go():
+        r = assign_genes(x, cov, GeneAssignConfig(max_copy=1))
+        np.asarray(r.eta_star)
+
+    go()
+    el = _median_time(go)
+    results.append({"bench": "geneassign_enum", "value": round(D / el, 1),
+                    "unit": "genes/s", "config": f"D={D} G={G} S={S} states=256"})
+
+
+def bench_io(results, quick, tmpdir):
+    from desman_tpu import io, native, synth
+    from desman_tpu.pileup import read_pileup_py, write_pileup
+
+    V = 5_000 if quick else 20_000
+    t = synth.generate(V=V, S=32, G=4, coverage=50.0, seed=2)
+
+    csv_path = os.path.join(tmpdir, "bench_counts.csv")
+    io.write_counts_csv(csv_path, t.data)
+    mb = os.path.getsize(csv_path) / 1e6
+    if native.available():
+        el = _median_time(lambda: native.read_counts_csv_native(csv_path))
+        results.append({"bench": "csv_native", "value": round(mb / el, 1),
+                        "unit": "MB/s", "config": f"{mb:.1f} MB"})
+    el = _median_time(lambda: io.read_counts_csv(csv_path, prefer_native=False))
+    results.append({"bench": "csv_pandas", "value": round(mb / el, 1),
+                    "unit": "MB/s", "config": f"{mb:.1f} MB"})
+
+    pl_path = os.path.join(tmpdir, "bench.pileup")
+    write_pileup(pl_path, t.data)
+    mb = os.path.getsize(pl_path) / 1e6
+    if native.pileup_available():
+        el = _median_time(lambda: native.read_pileup_native(pl_path))
+        results.append({"bench": "extract_native", "value": round(mb / el, 1),
+                        "unit": "MB/s", "config": f"{mb:.1f} MB"})
+    el = _median_time(lambda: read_pileup_py(pl_path))
+    results.append({"bench": "extract_python", "value": round(mb / el, 1),
+                    "unit": "MB/s", "config": f"{mb:.1f} MB"})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list: sweeps,filter,geneassign,io")
+    args = ap.parse_args()
+
+    import tempfile
+
+    import jax
+
+    print(f"# backend: {jax.default_backend()}, device: {jax.devices()[0]}",
+          file=sys.stderr)
+    results = []
+    todo = (args.only or "sweeps,filter,geneassign,io").split(",")
+    with tempfile.TemporaryDirectory() as td:
+        if "sweeps" in todo:
+            bench_sweeps(results, args.quick)
+        if "filter" in todo:
+            bench_filter(results, args.quick)
+        if "geneassign" in todo:
+            bench_geneassign(results, args.quick)
+        if "io" in todo:
+            bench_io(results, args.quick, td)
+
+    for r in results:
+        print(json.dumps(r))
+    print("\n| bench | value | unit | config |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for r in results:
+        print(f"| {r['bench']} | {r['value']} | {r['unit']} | {r['config']} |",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
