@@ -535,14 +535,18 @@ def run_chain_pt(
     reference has no analogue for (its mitigation is independent restarts,
     SURVEY.md §2.2 'multi-chain parallel').
 
-    R replicas run one per temperature rung T_r = max_temp^(r/(R-1)) (slot 0
+    R replicas run on a temperature ladder T_r = max_temp^(r/(R-1)) (rung 0
     cold, T=1), each targeting pi_r = prior * L^(1/T_r): the tau Gibbs
     conditional is raised to 1/T_r via the Gumbel-temperature trick and every
     MH acceptance scales its likelihood term by 1/T_r. After every sweep,
-    adjacent rungs (alternating parity) propose a state exchange accepted
-    with prob min(1, exp((b_r - b_{r+1}) (ll_{r+1} - ll_r))) — the priors
-    are untempered on every rung so they cancel. Only the cold slot's
-    samples/star are recorded; hot replicas exist to carry the chain across
+    adjacent rungs (alternating parity) propose an exchange accepted with
+    prob min(1, exp((b_r - b_{r+1}) (ll_{r+1} - ll_r))) — the priors are
+    untempered on every rung so they cancel. The exchange swaps the
+    TEMPERATURES between the two replicas (equivalent to the textbook
+    state swap, but it moves R scalars instead of gathering the [V,S,4]
+    states through HBM every sweep — and it keeps each replica's state
+    shard-local under a mesh). Samples/star are recorded only while a
+    replica holds the cold rung; hot rungs exist to carry the chain across
     posterior modes (label-permutation and strain-splitting modes) that
     single-temperature Gibbs crosses exponentially slowly.
 
@@ -562,8 +566,7 @@ def run_chain_pt(
     states = jax.vmap(
         lambda k: init_state(n, cfg, k, eta_init, tau_init, gamma_init)
     )(keys)
-    temps = jnp.float32(max_temp) ** (jnp.arange(R, dtype=jnp.float32) / (R - 1))
-    betas = 1.0 / temps
+    ladder = jnp.float32(max_temp) ** (jnp.arange(R, dtype=jnp.float32) / (R - 1))
     accum0 = init_accum(V, S, cfg.G)
     accums = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (R,) + jnp.shape(x)), accum0
@@ -572,34 +575,74 @@ def run_chain_pt(
     idx = jnp.arange(R)
 
     def step(carry, it):
-        states, accums = carry
-        states, accums, lls = jax.vmap(
+        # rung[i]: which ladder rung replica i currently holds
+        states, accums, rung = carry
+        temps = ladder[rung]
+        betas = 1.0 / temps
+        # record into accums only while holding the cold rung: mask the
+        # sample-accumulation by feeding hot replicas an `it` before burn
+        # would be wrong (adaptation uses it) — instead zero their is_sample
+        # contribution by accumulating into a scratch accum and merging.
+        new_states, new_accums, lls = jax.vmap(
             lambda st, ac, t, b: sweep(n, st, ac, it, temp=t, beta=b)
         )(states, accums, temps, betas)
+        is_cold = (rung == 0)
+        # keep the pre-sweep accum for hot replicas (their draws are from
+        # tempered targets and must not enter the posterior averages)
+        accums = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                is_cold.reshape((R,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            new_accums, accums,
+        )
+        states = new_states
 
-        # adjacent-rung exchange, alternating pair parity by sweep
-        ll = states.loglik                                   # [R]
-        delta = (betas - jnp.roll(betas, -1)) * (jnp.roll(ll, -1) - ll)
+        # adjacent-RUNG exchange, alternating parity by sweep: propose
+        # swapping the temperatures of the replicas holding rungs (r, r+1)
+        ll = states.loglik                                   # [R] by replica
+        order = jnp.argsort(rung)                            # rung -> replica
+        ll_by_rung = ll[order]
+        beta_ladder = 1.0 / ladder
+        delta = (beta_ladder - jnp.roll(beta_ladder, -1)) * (
+            jnp.roll(ll_by_rung, -1) - ll_by_rung
+        )
         is_head = ((idx % 2) == (it % 2)) & (idx + 1 < R)
         u = jax.random.uniform(jax.random.fold_in(k_swap, it), (R,))
         acc = is_head & (safe_log(u) < delta)
         acc_prev = jnp.concatenate([jnp.zeros((1,), bool), acc[:-1]])
-        perm = jnp.where(acc, idx + 1, jnp.where(acc_prev, idx - 1, idx))
-        swapped = jax.tree_util.tree_map(lambda x: x[perm], states)
-        # configurations move between rungs; RNG streams and adapted
-        # proposal scales stay with their temperature slot
-        states = swapped._replace(
-            key=states.key, kappa_gamma=states.kappa_gamma,
-            kappa_eta=states.kappa_eta,
-        )
+        # sigma: old rung -> new rung (disjoint adjacent transpositions,
+        # its own inverse); each replica's rung moves through sigma
+        rung_perm = jnp.where(acc, idx + 1, jnp.where(acc_prev, idx - 1, idx))
+        rung = rung_perm[rung]
         n_heads = jnp.maximum(jnp.sum(is_head.astype(jnp.float32)), 1.0)
         rate = jnp.sum(acc.astype(jnp.float32)) / n_heads
-        return (states, accums), (lls[0], rate)
+        cold_ll = jnp.sum(jnp.where(is_cold, lls, 0.0))
+        return (states, accums, rung), (cold_ll, rate)
 
-    (states, accums), (trace, rates) = jax.lax.scan(
-        step, (states, accums), jnp.arange(cfg.total_sweeps)
+    (states, accums, rung), (trace, rates) = jax.lax.scan(
+        step, (states, accums, idx), jnp.arange(cfg.total_sweeps)
     )
-    accum = jax.tree_util.tree_map(lambda x: x[0], accums)
+    # the cold-rung record is scattered across replicas (each accumulated
+    # while it held rung 0); sums/counters add, star states max-merge
+    def _sum(x):
+        return jnp.sum(x, axis=0)
+
+    star_rep = jnp.argmax(accums.star_loglik)
+    accum = SamplerAccum(
+        sum_tau=_sum(accums.sum_tau),
+        sum_gamma=_sum(accums.sum_gamma),
+        sum_eta=_sum(accums.sum_eta),
+        sum_loglik=_sum(accums.sum_loglik),
+        n_samples=_sum(accums.n_samples),
+        star_loglik=accums.star_loglik[star_rep],
+        star_tau=accums.star_tau[star_rep],
+        star_gamma=accums.star_gamma[star_rep],
+        star_eta=accums.star_eta[star_rep],
+        # exactly one replica is cold each sweep, so the cross-replica sums
+        # already total cfg.total_sweeps cold-sweep acceptance values
+        acc_gamma=_sum(accums.acc_gamma),
+        acc_eta=_sum(accums.acc_eta),
+    )
     n_s = jnp.maximum(accum.n_samples, 1.0)
     return SamplerResult(
         tau_mean=accum.sum_tau / n_s,
