@@ -1,9 +1,11 @@
 """Multi-device execution: chain x position sharding over a TPU mesh."""
 
 from .mesh import make_mesh, shard_counts, shard_keys
-from .sharded import make_pallas_sweep_sharded, run_chains_sharded
+from .sharded import (
+    make_pallas_sweep_sharded, run_chain_pt_sharded, run_chains_sharded,
+)
 
 __all__ = [
     "make_mesh", "shard_counts", "shard_keys", "run_chains_sharded",
-    "make_pallas_sweep_sharded",
+    "run_chain_pt_sharded", "make_pallas_sweep_sharded",
 ]

@@ -102,3 +102,37 @@ def run_chains_sharded(
     res = go(n_dev, keys_dev)
     # only the position-axis fields carry padding
     return res._replace(tau_mean=res.tau_mean[:, :V], tau_star=res.tau_star[:, :V])
+
+
+def run_chain_pt_sharded(
+    counts: np.ndarray,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    n_replicas: int = 4,
+    max_temp: float = 8.0,
+    mesh: Optional[Mesh] = None,
+    eta_init=None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """Parallel tempering on a (chain, data) mesh: replicas shard over the
+    chain axis, positions over the data axis. The temperature-swap exchange
+    (sampler.run_chain_pt) moves only R scalars, so replicas never exchange
+    state across the mesh — per-sweep communication stays the same few-KB
+    psum of gamma/eta statistics as the plain sharded run."""
+    from jax.sharding import NamedSharding
+
+    from ..sampler import run_chain_pt
+    from .mesh import CHAIN_AXIS
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    padded, V = pad_positions(np.asarray(counts, np.float32), n_data)
+    n_dev = shard_counts(jnp.asarray(padded), mesh)
+    eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
+
+    res = run_chain_pt(
+        n_dev, cfg, key, n_replicas=n_replicas, max_temp=max_temp,
+        eta_init=eta, tau_sweep=tau_sweep,
+        replica_sharding=NamedSharding(mesh, P(CHAIN_AXIS, None)),
+    )
+    return res._replace(tau_mean=res.tau_mean[:V], tau_star=res.tau_star[:V])

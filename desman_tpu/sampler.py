@@ -519,7 +519,8 @@ def run_chain(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_replicas", "tau_sweep"))
+@partial(jax.jit, static_argnames=("cfg", "n_replicas", "tau_sweep",
+                                   "replica_sharding"))
 def run_chain_pt(
     n: jax.Array,
     cfg: SamplerConfig,
@@ -530,6 +531,7 @@ def run_chain_pt(
     tau_init: Optional[jax.Array] = None,
     gamma_init: Optional[jax.Array] = None,
     tau_sweep=tau_sweep_xla,
+    replica_sharding=None,
 ) -> SamplerResult:
     """Parallel tempering (replica exchange) — a convergence upgrade the
     reference has no analogue for (its mitigation is independent restarts,
@@ -563,6 +565,10 @@ def run_chain_pt(
                          gamma_init=gamma_init, tau_sweep=tau_sweep)
     k_init, k_swap = jax.random.split(key)
     keys = jax.random.split(k_init, R)
+    if replica_sharding is not None:
+        # shard the replica axis over the mesh's chain axis (the exchange
+        # needs only the R logliks, so replicas never communicate state)
+        keys = jax.lax.with_sharding_constraint(keys, replica_sharding)
     states = jax.vmap(
         lambda k: init_state(n, cfg, k, eta_init, tau_init, gamma_init)
     )(keys)

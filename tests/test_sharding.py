@@ -57,6 +57,30 @@ def test_sharded_mesh_shapes_agree(small_synth, cfg):
     )
 
 
+def test_sharded_pt_matches_single_device(small_synth):
+    """Parallel tempering on a (chain, data) mesh == single-device PT: the
+    temperature-swap exchange is replica-local, so sharding replicas over
+    the chain axis must not change the trajectory."""
+    from desman_tpu.parallel import run_chain_pt_sharded
+    from desman_tpu.sampler import run_chain_pt
+
+    t = small_synth
+    cfg = SamplerConfig(G=2, burn=4, samples=4, nmf_iters=30)
+    key = jax.random.PRNGKey(5)
+    ref = run_chain_pt(jnp.asarray(t.data.counts, jnp.float32), cfg, key,
+                       n_replicas=2, max_temp=4.0)
+    got = run_chain_pt_sharded(t.data.counts, cfg, key, n_replicas=2,
+                               max_temp=4.0, mesh=make_mesh(n_chain=2, n_data=4))
+    assert np.array_equal(np.asarray(got.tau_star), np.asarray(ref.tau_star))
+    np.testing.assert_allclose(
+        np.asarray(got.loglik_trace), np.asarray(ref.loglik_trace), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.gamma_mean), np.asarray(ref.gamma_mean),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_graft_entry_single():
     import __graft_entry__ as ge
 
