@@ -8,7 +8,9 @@ reference analysis this is built against.
 """
 
 from .io import CountsData, read_counts_csv
-from .sampler import SamplerConfig, SamplerResult, run_chain, run_chains
+from .sampler import (
+    SamplerConfig, SamplerResult, run_chain, run_chain_pt, run_chains,
+)
 
 __version__ = "0.1.0"
 
@@ -18,5 +20,6 @@ __all__ = [
     "SamplerConfig",
     "SamplerResult",
     "run_chain",
+    "run_chain_pt",
     "run_chains",
 ]

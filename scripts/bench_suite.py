@@ -87,6 +87,46 @@ def bench_sweeps(results, quick):
         one("full_sweep_scale", 100_000, 96, 16, "pallas" if on_tpu else "xla")
 
 
+def bench_convergence(results, quick):
+    """Time-to-converged-deviance at the north-star config (BASELINE.md):
+    sweeps and seconds until the trace reaches within 0.01% of the run's
+    star (best) loglik. The plateau sits ~1e-4 relative BELOW the truth's
+    loglik (posterior gamma/eta jitter around ML over ~3e7 reads), so the
+    star-relative target is the meaningful one; the run also asserts the
+    star haplotypes match the generating truth exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from desman_tpu import synth
+    from desman_tpu.sampler import SamplerConfig, run_chain
+    from desman_tpu.utils import snp_distance_perm
+
+    V, S, G = (2_000, 16, 4) if quick else (10_000, 64, 8)
+    t = synth.generate(V=V, S=S, G=G, coverage=50.0, seed=0)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+
+    sweeps = 150 if quick else 300
+    cfg = SamplerConfig(G=G, burn=sweeps // 2, samples=sweeps - sweeps // 2,
+                        nmf_iters=50)
+    run_chain(n, cfg, jax.random.PRNGKey(0))  # compile
+    t0 = time.time()
+    res = run_chain(n, cfg, jax.random.PRNGKey(1))
+    trace = np.asarray(res.loglik_trace)
+    elapsed = time.time() - t0
+    snp = snp_distance_perm(t.tau_idx, np.asarray(res.tau_star))
+    star = float(res.star_loglik)
+    target = star - 1e-4 * abs(star)
+    hit = np.flatnonzero(trace >= target)
+    sweeps_to = int(hit[0]) + 1 if hit.size else -1
+    secs = sweeps_to * elapsed / sweeps if sweeps_to > 0 else -1.0
+    results.append({
+        "bench": "time_to_converged_deviance",
+        "value": round(secs, 3), "unit": "s",
+        "config": f"V={V} S={S} G={G}; {sweeps_to} sweeps to within 0.01% "
+                  f"of star loglik; star-vs-truth SNP errors={snp}",
+    })
+
+
 def bench_filter(results, quick):
     import jax
 
@@ -170,10 +210,12 @@ def main():
     print(f"# backend: {jax.default_backend()}, device: {jax.devices()[0]}",
           file=sys.stderr)
     results = []
-    todo = (args.only or "sweeps,filter,geneassign,io").split(",")
+    todo = (args.only or "sweeps,convergence,filter,geneassign,io").split(",")
     with tempfile.TemporaryDirectory() as td:
         if "sweeps" in todo:
             bench_sweeps(results, args.quick)
+        if "convergence" in todo:
+            bench_convergence(results, args.quick)
         if "filter" in todo:
             bench_filter(results, args.quick)
         if "geneassign" in todo:
