@@ -83,9 +83,10 @@ def _desman(argv) -> int:
         fix_tau=args.tau_fixed is not None,
         pt_replicas=args.pt, pt_max_temp=args.pt_max_temp,
     )
-    if args.pt >= 2 and (args.chains > 1 or args.mesh or args.checkpoint):
-        print("desman: --pt is incompatible with --chains/--mesh/--checkpoint",
-              file=sys.stderr)
+    if args.pt >= 2 and (args.chains > 1 or args.mesh or args.checkpoint
+                         or args.tau_init or args.tau_fixed):
+        print("desman: --pt is incompatible with --chains/--mesh/"
+              "--checkpoint/-t/-f", file=sys.stderr)
         return 2
     tau_sweep = None
     if args.kernel == "pallas":

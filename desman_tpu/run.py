@@ -115,6 +115,9 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     from .profiling import device_trace
 
     t0 = time.time()
+    if rc.pt_replicas >= 2 and rc.checkpoint_path:
+        raise ValueError("pt_replicas and checkpoint_path are mutually "
+                         "exclusive (PT runs are not checkpointable yet)")
     with device_trace(rc.profile_dir):
         if rc.checkpoint_path:
             from .checkpoint import run_chain_checkpointed

@@ -461,6 +461,26 @@ def init_accum(V: int, S: int, G: int) -> SamplerAccum:
     )
 
 
+def _result_from_accum(accum: SamplerAccum, cfg: SamplerConfig, trace,
+                       **extra) -> SamplerResult:
+    """Posterior means + star snapshot from a finished accumulator."""
+    n_s = jnp.maximum(accum.n_samples, 1.0)
+    return SamplerResult(
+        tau_mean=accum.sum_tau / n_s,
+        tau_star=accum.star_tau,
+        gamma_mean=accum.sum_gamma / n_s,
+        gamma_star=accum.star_gamma,
+        eta_mean=accum.sum_eta / n_s,
+        eta_star=accum.star_eta,
+        mean_loglik=accum.sum_loglik / n_s,
+        star_loglik=accum.star_loglik,
+        loglik_trace=trace,
+        accept_gamma=accum.acc_gamma / cfg.total_sweeps,
+        accept_eta=accum.acc_eta / cfg.total_sweeps,
+        **extra,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "tau_sweep"))
 def run_chain(
     n: jax.Array,
@@ -500,22 +520,9 @@ def run_chain(
     else:
         trace, tau_s, gamma_s, eta_s = ys, None, None, None
 
-    n_s = jnp.maximum(accum.n_samples, 1.0)
-    return SamplerResult(
-        tau_mean=accum.sum_tau / n_s,
-        tau_star=accum.star_tau,
-        gamma_mean=accum.sum_gamma / n_s,
-        gamma_star=accum.star_gamma,
-        eta_mean=accum.sum_eta / n_s,
-        eta_star=accum.star_eta,
-        mean_loglik=accum.sum_loglik / n_s,
-        star_loglik=accum.star_loglik,
-        loglik_trace=trace,
-        accept_gamma=accum.acc_gamma / cfg.total_sweeps,
-        accept_eta=accum.acc_eta / cfg.total_sweeps,
-        tau_samples=tau_s,
-        gamma_samples=gamma_s,
-        eta_samples=eta_s,
+    return _result_from_accum(
+        accum, cfg, trace,
+        tau_samples=tau_s, gamma_samples=gamma_s, eta_samples=eta_s,
     )
 
 
@@ -619,13 +626,23 @@ def run_chain_pt(
         # sigma: old rung -> new rung (disjoint adjacent transpositions,
         # its own inverse); each replica's rung moves through sigma
         rung_perm = jnp.where(acc, idx + 1, jnp.where(acc_prev, idx - 1, idx))
-        rung = rung_perm[rung]
-        n_heads = jnp.maximum(jnp.sum(is_head.astype(jnp.float32)), 1.0)
-        rate = jnp.sum(acc.astype(jnp.float32)) / n_heads
+        new_rung = rung_perm[rung]
+        # adapted proposal scales belong to the TEMPERATURE, not the replica
+        # (state-swap PT keeps them with the rung): re-gather them so the
+        # kappa tuned at rung r stays at rung r. order[x] = old holder of
+        # rung x, so the new holder of rung new_rung[i] takes its kappa.
+        kappa_src = order[new_rung]
+        states = states._replace(
+            kappa_gamma=states.kappa_gamma[kappa_src],
+            kappa_eta=states.kappa_eta[kappa_src],
+        )
+        rung = new_rung
+        n_acc = jnp.sum(acc.astype(jnp.float32))
+        n_heads = jnp.sum(is_head.astype(jnp.float32))
         cold_ll = jnp.sum(jnp.where(is_cold, lls, 0.0))
-        return (states, accums, rung), (cold_ll, rate)
+        return (states, accums, rung), (cold_ll, n_acc, n_heads)
 
-    (states, accums, rung), (trace, rates) = jax.lax.scan(
+    (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
         step, (states, accums, idx), jnp.arange(cfg.total_sweeps)
     )
     # the cold-rung record is scattered across replicas (each accumulated
@@ -649,21 +666,10 @@ def run_chain_pt(
         acc_gamma=_sum(accums.acc_gamma),
         acc_eta=_sum(accums.acc_eta),
     )
-    n_s = jnp.maximum(accum.n_samples, 1.0)
-    return SamplerResult(
-        tau_mean=accum.sum_tau / n_s,
-        tau_star=accum.star_tau,
-        gamma_mean=accum.sum_gamma / n_s,
-        gamma_star=accum.star_gamma,
-        eta_mean=accum.sum_eta / n_s,
-        eta_star=accum.star_eta,
-        mean_loglik=accum.sum_loglik / n_s,
-        star_loglik=accum.star_loglik,
-        loglik_trace=trace,
-        accept_gamma=accum.acc_gamma / cfg.total_sweeps,
-        accept_eta=accum.acc_eta / cfg.total_sweeps,
-        pt_swap_accept=jnp.mean(rates),
-    )
+    # per-proposal rate: sweeps whose parity yields no eligible pair (R=2,
+    # odd sweeps) contribute no proposals, not zero-acceptance ones
+    swap_rate = jnp.sum(n_accs) / jnp.maximum(jnp.sum(n_heads), 1.0)
+    return _result_from_accum(accum, cfg, trace, pt_swap_accept=swap_rate)
 
 
 def run_chains(

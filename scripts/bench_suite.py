@@ -8,6 +8,7 @@ this suite is for tracking the rest of the framework:
   full_sweep            V=1e4 x S=64 x G=8 Gibbs sweep (pallas + xla paths)
   full_sweep_chains4    4 vmapped chains, aggregate sweeps/s/chip
   full_sweep_scale      V=1e5 x S=96 x G=16 (BASELINE config #5, one chip)
+  convergence           time to within 0.01% of star loglik (north-star cfg)
   filter                variant filter throughput, V=1e5 x S=64 (positions/s)
   geneassign            exact-enumeration gene assignment, D=5e3 x G=8 (genes/s)
   extract_native/python mpileup parsing throughput (MB/s)
@@ -50,21 +51,23 @@ def bench_sweeps(results, quick):
         t = synth.generate(V=V, S=S, G=G, coverage=50.0, seed=0)
         n = jnp.asarray(t.data.counts, jnp.float32)
         cfg = SamplerConfig(G=G, burn=0, samples=sweeps, nmf_iters=30)
+        sweep_fn = None
         if kernel == "pallas":
-            from desman_tpu.ops import tau_sweep_pallas
-
             if not on_tpu:
                 return  # interpreter mode is not a perf measurement
-            runner = partial(run_chain, tau_sweep=tau_sweep_pallas)
-        else:
-            runner = run_chain
+            from desman_tpu.ops import tau_sweep_pallas
+
+            sweep_fn = tau_sweep_pallas
+        runner = (partial(run_chain, tau_sweep=sweep_fn) if sweep_fn
+                  else run_chain)
 
         if chains:
             seeds = list(range(chains))
+            kw = {"tau_sweep": sweep_fn} if sweep_fn else {}
 
             def go(i=[0]):
                 i[0] += 1
-                r = run_chains(n, cfg, [s + i[0] for s in seeds])
+                r = run_chains(n, cfg, [s + i[0] for s in seeds], **kw)
                 np.asarray(r.mean_loglik)
         else:
             def go(i=[0]):
@@ -200,12 +203,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
-                    help="comma list: sweeps,filter,geneassign,io")
+                    help="comma list: sweeps,convergence,filter,geneassign,io")
     args = ap.parse_args()
 
     import tempfile
 
     import jax
+
+    try:  # persistent executable cache: big-V compiles take minutes
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "desman_tpu_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     print(f"# backend: {jax.default_backend()}, device: {jax.devices()[0]}",
           file=sys.stderr)
