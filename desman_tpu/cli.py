@@ -472,24 +472,14 @@ _COMMANDS = {
 
 
 def _enable_compilation_cache() -> None:
-    """Persistent XLA executable cache: every (G, V, S, sweeps) shape is a
-    fresh compile (~1 min on TPU), and model-selection grids touch many —
-    caching makes re-runs and resumed grids near-instant. Opt out with
-    DESMAN_TPU_NO_CACHE=1."""
-    if os.environ.get("DESMAN_TPU_NO_CACHE"):
-        return
+    """Every (G, V, S, sweeps) shape is a fresh compile (~1 min on TPU) and
+    model-selection grids touch many — cache them across runs."""
     try:
-        import jax
+        from .utils import enable_compilation_cache
 
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "desman_tpu_xla"),
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        enable_compilation_cache()
     except Exception:
-        pass  # cache is an optimization; never block the run on it
+        pass
 
 
 def main(argv=None) -> int:

@@ -24,6 +24,26 @@ NBASES = 4
 _LOG_FLOOR = 1e-12
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA executable cache (big-V/G-grid compiles take minutes;
+    cached re-runs are near-instant). Safe no-op on failure; opt out with
+    DESMAN_TPU_NO_CACHE=1. Shared by the CLI, bench suite, and examples."""
+    import os
+
+    if os.environ.get("DESMAN_TPU_NO_CACHE"):
+        return
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "desman_tpu_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block the run on it
+
+
 def heinsum(subscripts: str, *operands, **kwargs) -> jax.Array:
     """einsum pinned to full-f32 accumulation.
 

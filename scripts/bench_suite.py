@@ -210,16 +210,9 @@ def main():
 
     import jax
 
-    try:  # persistent executable cache: big-V compiles take minutes
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "desman_tpu_xla"),
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from desman_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # big-V compiles take minutes; cache them
 
     print(f"# backend: {jax.default_backend()}, device: {jax.devices()[0]}",
           file=sys.stderr)
