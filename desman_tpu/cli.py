@@ -387,6 +387,49 @@ def _extract(argv) -> int:
     return 0
 
 
+def _multibin(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-multibin",
+        description="Deconvolve MANY genome bins in one device program "
+        "(bins share the sample set; the reference's per-bin shell loop, "
+        "batched on the bin axis)",
+    )
+    ap.add_argument("counts_files", nargs="+",
+                    help="one counts CSV per bin (same sample columns)")
+    ap.add_argument("-g", "--num_strains", type=int, required=True)
+    ap.add_argument("-o", "--output_stub", default="bin_out_",
+                    help="per-bin output dir = stub + counts-file basename")
+    ap.add_argument("-i", "--iterations", type=int, default=250)
+    ap.add_argument("-s", "--seed", type=int, default=0)
+    ap.add_argument("-e", "--eta_file", default=None,
+                    help="tran_df.csv: fix eta for every bin")
+    ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
+    args = ap.parse_args(argv)
+
+    from . import io
+    from .multibin import run_bins_files
+    from .sampler import SamplerConfig, tau_sweep_xla
+
+    tau_sweep = tau_sweep_xla
+    if args.kernel == "pallas":
+        from .ops import tau_sweep_pallas
+
+        tau_sweep = tau_sweep_pallas
+    eta = io.read_eta_csv(args.eta_file) if args.eta_file else None
+    burn = args.iterations // 2
+    cfg = SamplerConfig(G=args.num_strains, burn=burn,
+                        samples=args.iterations - burn,
+                        fix_eta=eta is not None)
+    out_dirs = [
+        args.output_stub + os.path.splitext(os.path.basename(f))[0]
+        for f in args.counts_files
+    ]
+    run_bins_files(args.counts_files, cfg, out_dirs, seed=args.seed,
+                   eta_init=eta, tau_sweep=tau_sweep)
+    print(f"multibin: {len(out_dirs)} bins -> {args.output_stub}*")
+    return 0
+
+
 def _strainfasta(argv) -> int:
     ap = argparse.ArgumentParser(
         prog="desman-strainfasta",
@@ -466,6 +509,7 @@ _COMMANDS = {
     "validate": _validate,
     "genecov": _genecov,
     "extract": _extract,
+    "multibin": _multibin,
     "strainfasta": _strainfasta,
     "collate": _collate,
 }

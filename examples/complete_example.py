@@ -32,6 +32,9 @@ def main():
     args = ap.parse_args()
 
     from desman_tpu import io, synth
+    from desman_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from desman_tpu.filter import filter_variants
     from desman_tpu.geneassign import (
         GeneAssignConfig, assign_genes, strain_coverage,
