@@ -21,8 +21,10 @@ import numpy as np
 
 from .sampler import (
     SamplerAccum, SamplerConfig, SamplerResult, SamplerState, init_accum,
-    init_state, make_sweep_fn, tau_sweep_xla,
+    init_state, make_pt_step, make_sweep_fn, pt_init, pt_merge_accums,
+    tau_sweep_xla,
 )
+from .sampler import _result_from_accum  # shared result assembly
 
 _STATE_FIELDS = SamplerState._fields
 _ACCUM_FIELDS = SamplerAccum._fields
@@ -112,17 +114,104 @@ def run_chain_checkpointed(
         save(checkpoint_path, state, accum, it, np.concatenate(trace_parts))
 
     trace = jnp.asarray(np.concatenate(trace_parts))
-    n_s = jnp.maximum(accum.n_samples, 1.0)
-    return SamplerResult(
-        tau_mean=accum.sum_tau / n_s,
-        tau_star=accum.star_tau,
-        gamma_mean=accum.sum_gamma / n_s,
-        gamma_star=accum.star_gamma,
-        eta_mean=accum.sum_eta / n_s,
-        eta_star=accum.star_eta,
-        mean_loglik=accum.sum_loglik / n_s,
-        star_loglik=accum.star_loglik,
-        loglik_trace=trace,
-        accept_gamma=accum.acc_gamma / cfg.total_sweeps,
-        accept_eta=accum.acc_eta / cfg.total_sweeps,
+    return _result_from_accum(accum, cfg, trace)
+
+
+# --------------------------------------------------------------------------
+# parallel-tempering checkpointing (replica states + rung assignment)
+# --------------------------------------------------------------------------
+
+def save_pt(path: str, states: SamplerState, accums: SamplerAccum,
+            rung, it: int, trace: np.ndarray, n_acc: float,
+            n_heads: float) -> None:
+    """Serialize a PT snapshot ([R]-leading replica pytrees) atomically."""
+    payload = {f"state_{k}": np.asarray(v) for k, v in zip(_STATE_FIELDS, states)}
+    payload.update(
+        {f"accum_{k}": np.asarray(v) for k, v in zip(_ACCUM_FIELDS, accums)}
     )
+    payload["rung"] = np.asarray(rung)
+    payload["it"] = np.asarray(it, np.int64)
+    payload["trace"] = np.asarray(trace, np.float32)
+    payload["n_acc"] = np.asarray(n_acc, np.float64)
+    payload["n_heads"] = np.asarray(n_heads, np.float64)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_pt(path: str):
+    z = np.load(path)
+    states = SamplerState(*[jnp.asarray(z[f"state_{k}"]) for k in _STATE_FIELDS])
+    accums = SamplerAccum(*[jnp.asarray(z[f"accum_{k}"]) for k in _ACCUM_FIELDS])
+    return (states, accums, jnp.asarray(z["rung"]), int(z["it"]),
+            np.asarray(z["trace"]), float(z["n_acc"]), float(z["n_heads"]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "max_temp", "tau_sweep"))
+def run_pt_segment(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    states: SamplerState,
+    accums: SamplerAccum,
+    rung: jax.Array,
+    start_it: int,
+    n_sweeps: int,
+    max_temp: float,
+    tau_sweep=tau_sweep_xla,
+):
+    """Advance a PT ensemble n_sweeps from absolute sweep index start_it.
+
+    key must be the ORIGINAL run key (the exchange stream folds absolute
+    sweep indices into it, so segments reproduce an uninterrupted run)."""
+    R = rung.shape[0]
+    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep)
+    (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
+        step, (states, accums, rung), start_it + jnp.arange(n_sweeps)
+    )
+    return states, accums, rung, trace, jnp.sum(n_accs), jnp.sum(n_heads)
+
+
+def run_chain_pt_checkpointed(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    checkpoint_path: str,
+    checkpoint_every: int = 50,
+    n_replicas: int = 4,
+    max_temp: float = 8.0,
+    eta_init=None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """run_chain_pt with periodic checkpoints and automatic resume; the
+    final result is identical to an uninterrupted run_chain_pt with the
+    same (n, cfg, key, n_replicas, max_temp)."""
+    n = n.astype(jnp.float32)
+    R = int(n_replicas)
+
+    if os.path.exists(checkpoint_path):
+        states, accums, rung, it, trace_done, acc_sum, head_sum = load_pt(
+            checkpoint_path)
+        trace_parts = [trace_done[:it]]
+    else:
+        states, accums, rung = pt_init(n, cfg, key, R, eta_init=eta_init)
+        it, acc_sum, head_sum = 0, 0.0, 0.0
+        trace_parts = []
+
+    while it < cfg.total_sweeps:
+        seg = min(checkpoint_every, cfg.total_sweeps - it)
+        states, accums, rung, trace, n_acc, n_heads = run_pt_segment(
+            n, cfg, key, states, accums, rung, it, seg, max_temp,
+            tau_sweep=tau_sweep,
+        )
+        it += seg
+        acc_sum += float(n_acc)
+        head_sum += float(n_heads)
+        trace_parts.append(np.asarray(trace))
+        save_pt(checkpoint_path, states, accums, rung, it,
+                np.concatenate(trace_parts), acc_sum, head_sum)
+
+    trace = jnp.asarray(np.concatenate(trace_parts))
+    accum = pt_merge_accums(accums)
+    swap_rate = jnp.float32(acc_sum / max(head_sum, 1.0))
+    return _result_from_accum(accum, cfg, trace, pt_swap_accept=swap_rate)

@@ -61,7 +61,7 @@ def _desman(argv) -> int:
     ap.add_argument("--pt", type=int, default=0, metavar="R",
                     help="parallel tempering with R replicas (better mixing "
                     "on multimodal posteriors; incompatible with --chains/"
-                    "--mesh/-t/-f/--checkpoint)")
+                    "--mesh/-t/-f; composes with --checkpoint)")
     ap.add_argument("--pt_max_temp", type=float, default=8.0)
     ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
                     help="shard over a device mesh, e.g. 2x4 (chain x "
@@ -83,10 +83,10 @@ def _desman(argv) -> int:
         fix_tau=args.tau_fixed is not None,
         pt_replicas=args.pt, pt_max_temp=args.pt_max_temp,
     )
-    if args.pt >= 2 and (args.chains > 1 or args.mesh or args.checkpoint
+    if args.pt >= 2 and (args.chains > 1 or args.mesh
                          or args.tau_init or args.tau_fixed):
-        print("desman: --pt is incompatible with --chains/--mesh/"
-              "--checkpoint/-t/-f", file=sys.stderr)
+        print("desman: --pt is incompatible with --chains/--mesh/-t/-f",
+              file=sys.stderr)
         return 2
     tau_sweep = None
     if args.kernel == "pallas":

@@ -115,11 +115,19 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     from .profiling import device_trace
 
     t0 = time.time()
-    if rc.pt_replicas >= 2 and rc.checkpoint_path:
-        raise ValueError("pt_replicas and checkpoint_path are mutually "
-                         "exclusive (PT runs are not checkpointable yet)")
     with device_trace(rc.profile_dir):
-        if rc.checkpoint_path:
+        if rc.checkpoint_path and rc.pt_replicas >= 2:
+            from .checkpoint import run_chain_pt_checkpointed
+
+            if tau_init is not None:
+                raise ValueError("tau_file is not supported with pt_replicas")
+            res = run_chain_pt_checkpointed(
+                n, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
+                checkpoint_every=rc.checkpoint_every,
+                n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp,
+                eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
+            )
+        elif rc.checkpoint_path:
             from .checkpoint import run_chain_checkpointed
 
             res = run_chain_checkpointed(

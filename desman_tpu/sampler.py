@@ -526,51 +526,16 @@ def run_chain(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_replicas", "tau_sweep",
-                                   "replica_sharding"))
-def run_chain_pt(
-    n: jax.Array,
-    cfg: SamplerConfig,
-    key: jax.Array,
-    n_replicas: int = 4,
-    max_temp: float = 8.0,
-    eta_init: Optional[jax.Array] = None,
-    tau_init: Optional[jax.Array] = None,
-    gamma_init: Optional[jax.Array] = None,
-    tau_sweep=tau_sweep_xla,
-    replica_sharding=None,
-) -> SamplerResult:
-    """Parallel tempering (replica exchange) — a convergence upgrade the
-    reference has no analogue for (its mitigation is independent restarts,
-    SURVEY.md §2.2 'multi-chain parallel').
+def pt_ladder(R: int, max_temp: float):
+    """Geometric temperature ladder, rung 0 cold (T=1)."""
+    return jnp.float32(max_temp) ** (jnp.arange(R, dtype=jnp.float32) / (R - 1))
 
-    R replicas run on a temperature ladder T_r = max_temp^(r/(R-1)) (rung 0
-    cold, T=1), each targeting pi_r = prior * L^(1/T_r): the tau Gibbs
-    conditional is raised to 1/T_r via the Gumbel-temperature trick and every
-    MH acceptance scales its likelihood term by 1/T_r. After every sweep,
-    adjacent rungs (alternating parity) propose an exchange accepted with
-    prob min(1, exp((b_r - b_{r+1}) (ll_{r+1} - ll_r))) — the priors are
-    untempered on every rung so they cancel. The exchange swaps the
-    TEMPERATURES between the two replicas (equivalent to the textbook
-    state swap, but it moves R scalars instead of gathering the [V,S,4]
-    states through HBM every sweep — and it keeps each replica's state
-    shard-local under a mesh). Samples/star are recorded only while a
-    replica holds the cold rung; hot rungs exist to carry the chain across
-    posterior modes (label-permutation and strain-splitting modes) that
-    single-temperature Gibbs crosses exponentially slowly.
 
-    Replicas are vmapped — on a (chain, data) mesh they shard like chains.
-    Cost: R x one chain; exchange overhead is R scalars per sweep.
-    """
-    if cfg.store_samples:
-        raise ValueError("store_samples is not supported with run_chain_pt")
-    n = n.astype(jnp.float32)
+def pt_init(n, cfg: SamplerConfig, key, R: int, eta_init=None, tau_init=None,
+            gamma_init=None, replica_sharding=None):
+    """(states[R], accums[R], rung[R]) for a replica-exchange run."""
     V, S, _ = n.shape
-    R = int(n_replicas)
-    if R < 2:
-        return run_chain(n, cfg, key, eta_init=eta_init, tau_init=tau_init,
-                         gamma_init=gamma_init, tau_sweep=tau_sweep)
-    k_init, k_swap = jax.random.split(key)
+    k_init, _ = jax.random.split(key)
     keys = jax.random.split(k_init, R)
     if replica_sharding is not None:
         # shard the replica axis over the mesh's chain axis (the exchange
@@ -579,11 +544,24 @@ def run_chain_pt(
     states = jax.vmap(
         lambda k: init_state(n, cfg, k, eta_init, tau_init, gamma_init)
     )(keys)
-    ladder = jnp.float32(max_temp) ** (jnp.arange(R, dtype=jnp.float32) / (R - 1))
     accum0 = init_accum(V, S, cfg.G)
     accums = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (R,) + jnp.shape(x)), accum0
     )
+    return states, accums, jnp.arange(R)
+
+
+def make_pt_step(n, cfg: SamplerConfig, key, R: int, max_temp: float,
+                 tau_sweep=tau_sweep_xla):
+    """One PT sweep+exchange as a scan step over absolute sweep index.
+
+    carry = (states[R], accums[R], rung[R]); ys = (cold_ll, n_acc, n_heads).
+    Randomness folds the absolute sweep index into per-replica keys and the
+    run key, so segmented execution (checkpoint.run_chain_pt_checkpointed)
+    reproduces an uninterrupted run bitwise.
+    """
+    ladder = pt_ladder(R, max_temp)
+    _, k_swap = jax.random.split(key)
     sweep = make_sweep_fn(cfg, tau_sweep)
     idx = jnp.arange(R)
 
@@ -592,10 +570,6 @@ def run_chain_pt(
         states, accums, rung = carry
         temps = ladder[rung]
         betas = 1.0 / temps
-        # record into accums only while holding the cold rung: mask the
-        # sample-accumulation by feeding hot replicas an `it` before burn
-        # would be wrong (adaptation uses it) — instead zero their is_sample
-        # contribution by accumulating into a scratch accum and merging.
         new_states, new_accums, lls = jax.vmap(
             lambda st, ac, t, b: sweep(n, st, ac, it, temp=t, beta=b)
         )(states, accums, temps, betas)
@@ -642,16 +616,16 @@ def run_chain_pt(
         cold_ll = jnp.sum(jnp.where(is_cold, lls, 0.0))
         return (states, accums, rung), (cold_ll, n_acc, n_heads)
 
-    (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
-        step, (states, accums, idx), jnp.arange(cfg.total_sweeps)
-    )
-    # the cold-rung record is scattered across replicas (each accumulated
-    # while it held rung 0); sums/counters add, star states max-merge
+    return step
+
+
+def pt_merge_accums(accums: SamplerAccum) -> SamplerAccum:
+    """Merge per-replica cold-rung records: sums add, stars max-merge."""
     def _sum(x):
         return jnp.sum(x, axis=0)
 
     star_rep = jnp.argmax(accums.star_loglik)
-    accum = SamplerAccum(
+    return SamplerAccum(
         sum_tau=_sum(accums.sum_tau),
         sum_gamma=_sum(accums.sum_gamma),
         sum_eta=_sum(accums.sum_eta),
@@ -666,6 +640,60 @@ def run_chain_pt(
         acc_gamma=_sum(accums.acc_gamma),
         acc_eta=_sum(accums.acc_eta),
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_replicas", "tau_sweep",
+                                   "replica_sharding"))
+def run_chain_pt(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    n_replicas: int = 4,
+    max_temp: float = 8.0,
+    eta_init: Optional[jax.Array] = None,
+    tau_init: Optional[jax.Array] = None,
+    gamma_init: Optional[jax.Array] = None,
+    tau_sweep=tau_sweep_xla,
+    replica_sharding=None,
+) -> SamplerResult:
+    """Parallel tempering (replica exchange) — a convergence upgrade the
+    reference has no analogue for (its mitigation is independent restarts,
+    SURVEY.md §2.2 'multi-chain parallel').
+
+    R replicas run on a temperature ladder T_r = max_temp^(r/(R-1)) (rung 0
+    cold, T=1), each targeting pi_r = prior * L^(1/T_r): the tau Gibbs
+    conditional is raised to 1/T_r via the Gumbel-temperature trick and every
+    MH acceptance scales its likelihood term by 1/T_r. After every sweep,
+    adjacent rungs (alternating parity) propose an exchange accepted with
+    prob min(1, exp((b_r - b_{r+1}) (ll_{r+1} - ll_r))) — the priors are
+    untempered on every rung so they cancel. The exchange swaps the
+    TEMPERATURES between the two replicas (equivalent to the textbook
+    state swap, but it moves R scalars instead of gathering the [V,S,4]
+    states through HBM every sweep — and it keeps each replica's state
+    shard-local under a mesh). Samples/star are recorded only while a
+    replica holds the cold rung; hot rungs exist to carry the chain across
+    posterior modes (label-permutation and strain-splitting modes) that
+    single-temperature Gibbs crosses exponentially slowly.
+
+    Replicas are vmapped — on a (chain, data) mesh they shard like chains.
+    Cost: R x one chain; exchange overhead is R scalars per sweep.
+    """
+    if cfg.store_samples:
+        raise ValueError("store_samples is not supported with run_chain_pt")
+    n = n.astype(jnp.float32)
+    R = int(n_replicas)
+    if R < 2:
+        return run_chain(n, cfg, key, eta_init=eta_init, tau_init=tau_init,
+                         gamma_init=gamma_init, tau_sweep=tau_sweep)
+    states, accums, rung = pt_init(
+        n, cfg, key, R, eta_init=eta_init, tau_init=tau_init,
+        gamma_init=gamma_init, replica_sharding=replica_sharding,
+    )
+    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep)
+    (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
+        step, (states, accums, rung), jnp.arange(cfg.total_sweeps)
+    )
+    accum = pt_merge_accums(accums)
     # per-proposal rate: sweeps whose parity yields no eligible pair (R=2,
     # odd sweeps) contribute no proposals, not zero-acceptance ones
     swap_rate = jnp.sum(n_accs) / jnp.maximum(jnp.sum(n_heads), 1.0)
