@@ -69,6 +69,7 @@ def fit_grid(
     out_stub: Optional[str] = None,
     data: Optional[io.CountsData] = None,
     mesh=None,
+    tau_sweep=None,
 ) -> List[RunRecord]:
     """Fit G x seeds on-device; optionally write per-run output dirs.
 
@@ -90,10 +91,12 @@ def fit_grid(
         if mesh is not None:
             from .parallel import run_chains_sharded
 
+            kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
             res = run_chains_sharded(counts, cfg, seeds, mesh=mesh,
-                                     eta_init=eta)
+                                     eta_init=eta, **kw)
         else:
-            res = run_chains(n, cfg, seeds, eta_init=eta)
+            kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
+            res = run_chains(n, cfg, seeds, eta_init=eta, **kw)
         for i, seed in enumerate(seeds):
             mean_dev = deviance_from_loglik(float(res.mean_loglik[i]), coeff)
             unc = float(snv_uncertainty(res.tau_mean[i], unc_threshold))

@@ -14,7 +14,7 @@ Config keys (all optional except counts):
     counts: counts.csv
     output_dir: desman_pipeline_out
     filter: {min_coverage: 5.0, q_cutoff: 0.05}
-    grid: {g_min: 1, g_max: 8, seeds: [0,1,2], iterations: 250}
+    grid: {g_min: 1, g_max: 8, seeds: [0,1,2], iterations: 250, kernel: pallas}
     selection: {dev_cutoff: 0.02, unc_cutoff: 0.1}
     genes: {coverage_csv: gene_cov.csv, max_copy: 1}   # optional stage
 """
@@ -66,11 +66,17 @@ def run_pipeline(config: dict) -> dict:
     grid = config.get("grid", {})
     g_values = list(range(int(grid.get("g_min", 1)), int(grid.get("g_max", 8)) + 1))
     seeds = list(grid.get("seeds", [0, 1, 2]))
+    tau_sweep = None
+    if grid.get("kernel") == "pallas":
+        from .ops import tau_sweep_pallas
+
+        tau_sweep = tau_sweep_pallas
     records = fit_grid(
         sel.counts, g_values=g_values, seeds=seeds,
         iterations=int(grid.get("iterations", 250)),
         eta_init=fres.eta, fix_eta=bool(grid.get("fix_eta", True)),
         out_stub=os.path.join(outdir, "run"), data=sel,
+        tau_sweep=tau_sweep,
     )
     pd.DataFrame([r.__dict__ for r in records]).to_csv(
         os.path.join(outdir, "collated_fits.csv"), index=False)
