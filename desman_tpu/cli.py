@@ -63,6 +63,12 @@ def _desman(argv) -> int:
                     "on multimodal posteriors; incompatible with --chains/"
                     "--mesh/-t/-f; composes with --checkpoint)")
     ap.add_argument("--pt_max_temp", type=float, default=8.0)
+    ap.add_argument("--auto_burn", action="store_true",
+                    help="extend burn-in until the loglik plateaus (at "
+                    "least -i/2, at most --auto_max_burn); -i/2 sampling "
+                    "sweeps follow")
+    ap.add_argument("--auto_tol", type=float, default=1e-5)
+    ap.add_argument("--auto_max_burn", type=int, default=2000)
     ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
                     help="shard over a device mesh, e.g. 2x4 (chain x "
                     "position axes); requires --chains >= chain axis")
@@ -82,7 +88,14 @@ def _desman(argv) -> int:
         tau_file=args.tau_fixed or args.tau_init,
         fix_tau=args.tau_fixed is not None,
         pt_replicas=args.pt, pt_max_temp=args.pt_max_temp,
+        auto_burn=args.auto_burn, auto_tol=args.auto_tol,
+        auto_max_burn=args.auto_max_burn,
     )
+    if args.auto_burn and (args.pt >= 2 or args.checkpoint or args.chains > 1
+                           or args.mesh):
+        print("desman: --auto_burn is incompatible with --pt/--checkpoint/"
+              "--chains/--mesh", file=sys.stderr)
+        return 2
     if args.pt >= 2 and (args.chains > 1 or args.mesh
                          or args.tau_init or args.tau_fixed):
         print("desman: --pt is incompatible with --chains/--mesh/-t/-f",

@@ -1,0 +1,102 @@
+"""Convergence-adaptive runs: stop burning in when the chain plateaus.
+
+The reference runs a fixed iteration count (``desman -i``, SURVEY.md §3.1) —
+users guess, and model selection silently degrades when the guess is low
+(PERF.md's under-convergence failure mode). Here the burn-in length is
+decided by the chain itself: advance in segments (checkpoint.run_segment,
+so the PRNG stream is the absolute-sweep-indexed one) without accumulating,
+until the segment-mean log-likelihood stops improving; then sample a fixed
+number of sweeps.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import run_segment
+from .sampler import (
+    SamplerConfig, SamplerResult, init_accum, init_state, tau_sweep_xla,
+)
+from .sampler import _result_from_accum
+
+
+def run_chain_auto(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    eta_init=None,
+    tau_init=None,
+    check_every: int = 50,
+    rel_tol: float = 1e-5,
+    max_burn: int = 2000,
+    tau_sweep=tau_sweep_xla,
+):
+    """run_chain with data-driven burn-in length.
+
+    Burn-in advances ``check_every`` sweeps at a time until the segment-mean
+    loglik stops improving — improvement below 2 standard errors of the
+    segment mean (the MC noise floor, self-calibrating) or below ``rel_tol``
+    relative — but at least ``cfg.burn`` sweeps (the tempered-annealing
+    schedule still runs over cfg.burn * anneal_frac sweeps) — capped at
+    ``max_burn``. Then ``cfg.samples`` sweeps are accumulated. Returns
+    (SamplerResult, burn_used).
+    """
+    n = n.astype(jnp.float32)
+    V, S, _ = n.shape
+    max_burn = max(max_burn, cfg.burn)
+
+    state = init_state(n, cfg, key, eta_init, tau_init)
+    # phase 1 — burn until plateau. Accumulation is gated on
+    # it >= cfg.burn, so a sentinel burn larger than any reachable sweep
+    # index disables it; the anneal schedule (anneal_sweeps =
+    # burn * anneal_frac) is kept at its cfg.burn-based length by scaling
+    # anneal_frac down to the sentinel.
+    sentinel = max_burn + cfg.samples + check_every
+    anneal_frac = (cfg.burn * cfg.anneal_frac) / sentinel if sentinel else 0.0
+    burn_cfg = replace(cfg, burn=sentinel, samples=0,
+                       anneal_frac=anneal_frac)
+    scratch = init_accum(V, S, cfg.G)  # phase-1 accum, discarded
+    it = 0
+    trace_parts = []
+    prev_mean: Optional[float] = None
+    while it < max_burn:
+        seg = min(check_every, max_burn - it)
+        state, scratch, trace = run_segment(
+            n, burn_cfg, state, scratch, it, seg, tau_sweep=tau_sweep,
+        )
+        it += seg
+        trace = np.asarray(trace)
+        trace_parts.append(trace)
+        mean = float(trace.mean())
+        # autocorrelation inflates the naive stderr; 2x the naive one is a
+        # pragmatic bar — improvement below it is indistinguishable from
+        # segment-mean noise
+        stderr = float(trace.std()) / max(np.sqrt(seg), 1.0)
+        if prev_mean is not None and it >= cfg.burn:
+            improvement = mean - prev_mean
+            if (improvement < 2.0 * stderr
+                    or abs(improvement) < rel_tol * max(abs(prev_mean), 1.0)):
+                break
+        prev_mean = mean
+
+    # phase 2 — sample: accumulate cfg.samples sweeps from the plateau.
+    # burn=it gates accumulation on (>= it) and freezes kappa adaptation;
+    # the anneal exponent is <= 0 past it*anneal_frac, i.e. temp == 1.
+    sample_cfg = replace(cfg, burn=it, samples=cfg.samples)
+    accum = init_accum(V, S, cfg.G)
+    state, accum, trace = run_segment(
+        n, sample_cfg, state, accum, it, cfg.samples, tau_sweep=tau_sweep,
+    )
+    trace_parts.append(np.asarray(trace))
+
+    # acceptance normalization divides by the passed cfg's total_sweeps;
+    # only the cfg.samples phase-2 sweeps accumulated acceptance values
+    res = _result_from_accum(
+        accum, replace(cfg, burn=0, samples=cfg.samples),
+        jnp.asarray(np.concatenate(trace_parts)),
+    )
+    return res, it

@@ -47,6 +47,9 @@ class RunConfig:
     fix_tau: bool = False                   # -f: freeze tau (fit gamma/eta only)
     pt_replicas: int = 0                    # >=2: parallel tempering rungs
     pt_max_temp: float = 8.0                # hottest rung temperature
+    auto_burn: bool = False                 # plateau-detected burn-in length
+    auto_tol: float = 1e-5                  # relative plateau tolerance
+    auto_max_burn: int = 2000
 
 
 def prepare_data(
@@ -115,8 +118,22 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     from .profiling import device_trace
 
     t0 = time.time()
+    if rc.auto_burn and (rc.checkpoint_path or rc.pt_replicas >= 2):
+        raise ValueError("auto_burn is incompatible with checkpoint/pt")
     with device_trace(rc.profile_dir):
-        if rc.checkpoint_path and rc.pt_replicas >= 2:
+        if rc.auto_burn:
+            from .converge import run_chain_auto
+
+            res, burn_used = run_chain_auto(
+                n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
+                tau_init=tau_init, rel_tol=rc.auto_tol,
+                max_burn=rc.auto_max_burn,
+                tau_sweep=tau_sweep or tau_sweep_xla,
+            )
+            from dataclasses import replace as _replace
+
+            cfg = _replace(cfg, burn=burn_used)  # metrics report real sweeps
+        elif rc.checkpoint_path and rc.pt_replicas >= 2:
             from .checkpoint import run_chain_pt_checkpointed
 
             if tau_init is not None:

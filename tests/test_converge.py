@@ -1,0 +1,55 @@
+"""Convergence-adaptive burn-in (desman_tpu.converge)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desman_tpu import synth
+from desman_tpu.converge import run_chain_auto
+from desman_tpu.sampler import SamplerConfig
+from desman_tpu.utils import match_gamma_perm, snp_distance_perm
+
+
+def test_auto_burn_stops_early_on_easy_data():
+    """Sharp posterior: the plateau hits right after the cfg.burn floor,
+    far before max_burn, and the result recovers the truth."""
+    t = synth.generate(V=80, S=10, G=2, coverage=60.0, seed=21)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=2, burn=30, samples=40, nmf_iters=40)
+    res, burn_used = run_chain_auto(n, cfg, jax.random.PRNGKey(0),
+                                    check_every=20, max_burn=1000)
+    assert 30 <= burn_used <= 200, burn_used
+    assert snp_distance_perm(t.tau_idx, np.asarray(res.tau_star)) == 0
+    mae, _ = match_gamma_perm(t.gamma, np.asarray(res.gamma_mean))
+    assert mae < 0.03
+    # trace covers burn + samples
+    assert res.loglik_trace.shape[0] == burn_used + 40
+
+
+def test_auto_burn_respects_max():
+    t = synth.generate(V=40, S=6, G=3, coverage=10.0, seed=22)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=3, burn=10, samples=10, nmf_iters=20)
+    res, burn_used = run_chain_auto(
+        n, cfg, jax.random.PRNGKey(1), check_every=40, rel_tol=0.0,
+        max_burn=40,
+    )  # one segment == max_burn: no earlier plateau check possible
+    assert burn_used == 40
+    assert np.isfinite(float(res.star_loglik))
+
+
+def test_auto_burn_cli(tmp_path):
+    import os
+
+    from desman_tpu import io
+    from desman_tpu.cli import main
+
+    t = synth.generate(V=60, S=6, G=2, coverage=50.0, seed=23)
+    io.write_counts_csv(str(tmp_path / "c.csv"), t.data)
+    out = str(tmp_path / "out")
+    rc = main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out,
+               "-i", "40", "--auto_burn", "--auto_max_burn", "200"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "fit.txt"))
+    # guard: incompatible combos exit cleanly
+    assert main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out,
+                 "-i", "10", "--auto_burn", "--pt", "3"]) == 2
