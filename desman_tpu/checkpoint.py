@@ -61,13 +61,18 @@ def run_segment(
     start_it: int,
     n_sweeps: int,
     tau_sweep=tau_sweep_xla,
+    burn=None,
 ):
-    """Advance a chain n_sweeps from absolute sweep index start_it."""
+    """Advance a chain n_sweeps from absolute sweep index start_it.
+
+    ``burn`` (traced scalar) overrides cfg.burn for the accumulation/
+    adaptation gates — converge.run_chain_auto varies it at runtime
+    without triggering a recompile per plateau point."""
     sweep = make_sweep_fn(cfg, tau_sweep)
 
     def step(carry, it):
         state, accum = carry
-        state, accum, ll = sweep(n, state, accum, it)
+        state, accum, ll = sweep(n, state, accum, it, burn=burn)
         return (state, accum), ll
 
     (state, accum), trace = jax.lax.scan(
@@ -186,8 +191,15 @@ def run_chain_pt_checkpointed(
     """run_chain_pt with periodic checkpoints and automatic resume; the
     final result is identical to an uninterrupted run_chain_pt with the
     same (n, cfg, key, n_replicas, max_temp)."""
+    if cfg.store_samples:
+        raise ValueError("store_samples is not supported with run_chain_pt")
     n = n.astype(jnp.float32)
     R = int(n_replicas)
+    if R < 2:  # same degenerate-ladder fallback as run_chain_pt
+        return run_chain_checkpointed(
+            n, cfg, key, checkpoint_path, checkpoint_every=checkpoint_every,
+            eta_init=eta_init, tau_sweep=tau_sweep,
+        )
 
     if os.path.exists(checkpoint_path):
         states, accums, rung, it, trace_done, acc_sum, head_sum = load_pt(

@@ -101,11 +101,9 @@ def _desman(argv) -> int:
         print("desman: --pt is incompatible with --chains/--mesh/-t/-f",
               file=sys.stderr)
         return 2
-    tau_sweep = None
-    if args.kernel == "pallas":
-        from .ops import tau_sweep_pallas
+    from .ops import resolve_tau_sweep
 
-        tau_sweep = tau_sweep_pallas
+    tau_sweep = resolve_tau_sweep(args.kernel)
     mesh = None
     if args.mesh:
         from .parallel import make_mesh
@@ -421,22 +419,31 @@ def _multibin(argv) -> int:
 
     from . import io
     from .multibin import run_bins_files
+    from .ops import resolve_tau_sweep
     from .sampler import SamplerConfig, tau_sweep_xla
 
-    tau_sweep = tau_sweep_xla
-    if args.kernel == "pallas":
-        from .ops import tau_sweep_pallas
-
-        tau_sweep = tau_sweep_pallas
+    tau_sweep = resolve_tau_sweep(args.kernel) or tau_sweep_xla
     eta = io.read_eta_csv(args.eta_file) if args.eta_file else None
     burn = args.iterations // 2
     cfg = SamplerConfig(G=args.num_strains, burn=burn,
                         samples=args.iterations - burn,
                         fix_eta=eta is not None)
-    out_dirs = [
-        args.output_stub + os.path.splitext(os.path.basename(f))[0]
-        for f in args.counts_files
-    ]
+    # unique out dir per bin: basename, disambiguated by parent dir then
+    # index ('bin1/counts.csv bin2/counts.csv' must not collide)
+    names = []
+    for f in args.counts_files:
+        base = os.path.splitext(os.path.basename(f))[0]
+        if sum(os.path.splitext(os.path.basename(g))[0] == base
+               for g in args.counts_files) > 1:
+            parent = os.path.basename(os.path.dirname(os.path.abspath(f)))
+            base = f"{parent}_{base}"
+        names.append(base)
+    seen = {}
+    out_dirs = []
+    for base in names:
+        k = seen.get(base, 0)
+        seen[base] = k + 1
+        out_dirs.append(args.output_stub + (base if k == 0 else f"{base}_{k}"))
     run_bins_files(args.counts_files, cfg, out_dirs, seed=args.seed,
                    eta_init=eta, tau_sweep=tau_sweep)
     print(f"multibin: {len(out_dirs)} bins -> {args.output_stub}*")

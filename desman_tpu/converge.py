@@ -50,15 +50,12 @@ def run_chain_auto(
     max_burn = max(max_burn, cfg.burn)
 
     state = init_state(n, cfg, key, eta_init, tau_init)
-    # phase 1 — burn until plateau. Accumulation is gated on
-    # it >= cfg.burn, so a sentinel burn larger than any reachable sweep
-    # index disables it; the anneal schedule (anneal_sweeps =
-    # burn * anneal_frac) is kept at its cfg.burn-based length by scaling
-    # anneal_frac down to the sentinel.
-    sentinel = max_burn + cfg.samples + check_every
-    anneal_frac = (cfg.burn * cfg.anneal_frac) / sentinel if sentinel else 0.0
-    burn_cfg = replace(cfg, burn=sentinel, samples=0,
-                       anneal_frac=anneal_frac)
+    # phase 1 — burn until plateau. The accumulation/adaptation gates take
+    # a TRACED burn override (run_segment burn=...), so every phase-1
+    # segment shares ONE compiled program and the phase-2 program does not
+    # depend on where the plateau landed. The anneal schedule follows the
+    # static cfg.burn (the guaranteed minimum burn).
+    never = jnp.int32(np.iinfo(np.int32).max)  # accumulate nothing
     scratch = init_accum(V, S, cfg.G)  # phase-1 accum, discarded
     it = 0
     trace_parts = []
@@ -66,7 +63,7 @@ def run_chain_auto(
     while it < max_burn:
         seg = min(check_every, max_burn - it)
         state, scratch, trace = run_segment(
-            n, burn_cfg, state, scratch, it, seg, tau_sweep=tau_sweep,
+            n, cfg, state, scratch, it, seg, tau_sweep=tau_sweep, burn=never,
         )
         it += seg
         trace = np.asarray(trace)
@@ -84,12 +81,12 @@ def run_chain_auto(
         prev_mean = mean
 
     # phase 2 — sample: accumulate cfg.samples sweeps from the plateau.
-    # burn=it gates accumulation on (>= it) and freezes kappa adaptation;
-    # the anneal exponent is <= 0 past it*anneal_frac, i.e. temp == 1.
-    sample_cfg = replace(cfg, burn=it, samples=cfg.samples)
+    # traced burn=it gates accumulation on (>= it) and freezes adaptation;
+    # the anneal temp is already 1 past cfg.burn * anneal_frac <= it.
     accum = init_accum(V, S, cfg.G)
     state, accum, trace = run_segment(
-        n, sample_cfg, state, accum, it, cfg.samples, tau_sweep=tau_sweep,
+        n, cfg, state, accum, it, cfg.samples, tau_sweep=tau_sweep,
+        burn=jnp.int32(it),
     )
     trace_parts.append(np.asarray(trace))
 

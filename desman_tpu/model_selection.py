@@ -83,6 +83,7 @@ def fit_grid(
     eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
 
     records: List[RunRecord] = []
+    kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
     for G in g_values:
         cfg = SamplerConfig(
             G=G, burn=burn, samples=iterations - burn,
@@ -91,11 +92,9 @@ def fit_grid(
         if mesh is not None:
             from .parallel import run_chains_sharded
 
-            kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
             res = run_chains_sharded(counts, cfg, seeds, mesh=mesh,
                                      eta_init=eta, **kw)
         else:
-            kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
             res = run_chains(n, cfg, seeds, eta_init=eta, **kw)
         for i, seed in enumerate(seeds):
             mean_dev = deviance_from_loglik(float(res.mean_loglik[i]), coeff)

@@ -86,6 +86,8 @@ def run_bins_files(
     output dir per bin."""
     from .run import write_outputs
 
+    if len(set(out_dirs)) != len(out_dirs):
+        raise ValueError(f"duplicate output dirs: {sorted(out_dirs)}")
     datas = [io.read_counts_csv(f) for f in counts_files]
     samples0 = datas[0].samples
     for f, d in zip(counts_files, datas):

@@ -66,11 +66,9 @@ def run_pipeline(config: dict) -> dict:
     grid = config.get("grid", {})
     g_values = list(range(int(grid.get("g_min", 1)), int(grid.get("g_max", 8)) + 1))
     seeds = list(grid.get("seeds", [0, 1, 2]))
-    tau_sweep = None
-    if grid.get("kernel") == "pallas":
-        from .ops import tau_sweep_pallas
+    from .ops import resolve_tau_sweep
 
-        tau_sweep = tau_sweep_pallas
+    tau_sweep = resolve_tau_sweep(grid.get("kernel"))
     records = fit_grid(
         sel.counts, g_values=g_values, seeds=seeds,
         iterations=int(grid.get("iterations", 250)),

@@ -324,11 +324,14 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
     fixed tau-tempering temperature and ``beta`` tempers every MH acceptance
     (likelihood term only) — together they make the sweep target
     pi_beta = prior * L^beta, the per-replica kernel of run_chain_pt
-    (pass temp = 1/beta for a consistent tempered target).
+    (pass temp = 1/beta for a consistent tempered target). ``burn``
+    overrides cfg.burn for the sample-accumulation and adaptation gates with
+    a TRACED value (converge.run_chain_auto decides burn at runtime without
+    recompiling); the anneal schedule always follows the static cfg.burn.
     """
 
     def sweep(n, state: SamplerState, accum: SamplerAccum, it,
-              temp=None, beta=1.0):
+              temp=None, beta=1.0, burn=None):
         key = jax.random.fold_in(state.key, it)
         k_tau, k_gamma, k_eta = jax.random.split(key, 3)
 
@@ -378,7 +381,7 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
         # Dirichlet steps -> higher acceptance, so push kappa toward the
         # target rate while burn lasts (valid MCMC: frozen post-burn)
         if cfg.adapt_kappa:
-            adapting = (it < cfg.burn).astype(jnp.float32)
+            adapting = (it < (cfg.burn if burn is None else burn)).astype(jnp.float32)
             kg = state.kappa_gamma * jnp.exp(
                 adapting * cfg.adapt_rate * (cfg.target_accept - acc_g)
             )
@@ -395,7 +398,7 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
             key=state.key, kappa_gamma=kg, kappa_eta=ke,
         )
 
-        is_sample = (it >= cfg.burn).astype(jnp.float32)
+        is_sample = (it >= (cfg.burn if burn is None else burn)).astype(jnp.float32)
         is_star = loglik > accum.star_loglik
         accum = SamplerAccum(
             sum_tau=accum.sum_tau + is_sample * one_hot_tau(tau),

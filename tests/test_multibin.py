@@ -64,6 +64,27 @@ def test_run_bins_files(bins, tmp_path):
         assert os.path.exists(os.path.join(out, "Filtered_Tau_star.csv"))
 
 
+def test_multibin_cli_basename_collision(bins, tmp_path):
+    """bin1/counts.csv + bin2/counts.csv must not overwrite each other."""
+    from desman_tpu.cli import main
+
+    files = []
+    for i, t in enumerate(bins[:2]):
+        d = tmp_path / f"bin{i}"
+        d.mkdir()
+        f = str(d / "counts.csv")
+        io.write_counts_csv(f, t.data)
+        files.append(f)
+    stub = str(tmp_path / "runs") + os.sep
+    os.makedirs(stub, exist_ok=True)
+    rc = main(["multibin", *files, "-g", "2", "-o", stub, "-i", "10"])
+    assert rc == 0
+    outs = sorted(os.listdir(stub))
+    assert len(outs) == 2, outs  # one dir per bin, disambiguated
+    for d in outs:
+        assert os.path.isfile(os.path.join(stub, d, "fit.txt"))
+
+
 def test_run_bins_files_rejects_sample_mismatch(bins, tmp_path):
     t0 = bins[0]
     f0 = str(tmp_path / "a.csv")
