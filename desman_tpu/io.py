@@ -62,15 +62,50 @@ class CountsData:
         )
 
 
+def decompressed(path: str):
+    """Context manager yielding a plain-text path for `path`.
+
+    Gzipped inputs (.gz) are streamed to a temp file for the native
+    byte-level parsers (countsio/pileupio read plain files); plain paths
+    pass through untouched. Counts CSVs and pileups are routinely shipped
+    gzipped, so every reader accepts both.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if not str(path).endswith(".gz"):
+            yield path
+            return
+        import gzip
+        import shutil
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as tmp:
+            with gzip.open(path, "rb") as src:
+                shutil.copyfileobj(src, tmp, length=1 << 20)
+            name = tmp.name
+        try:
+            yield name
+        finally:
+            os.unlink(name)
+
+    return _cm()
+
+
 def read_counts_csv(path: str, prefer_native: bool = True) -> CountsData:
     """Read a DESMAN variant-count CSV into a dense [V,S,4] tensor.
 
     Accepts the reference header convention ``<sample>-A`` (also tolerates
     ``<sample>.A`` / ``<sample>_A``). The first two columns are
-    ``Contig,Position`` (any capitalization). Uses the C++ reader
-    (desman_tpu.native, ~10x faster) when its library is available; format
-    errors fall through to the pandas path so messages stay uniform.
+    ``Contig,Position`` (any capitalization). Gzipped (.gz) input is
+    handled transparently. Uses the C++ reader (desman_tpu.native, ~10x
+    faster) when its library is available; format errors fall through to
+    the pandas path so messages stay uniform.
     """
+    if str(path).endswith(".gz"):
+        with decompressed(path) as plain:
+            return read_counts_csv(plain, prefer_native=prefer_native)
     if prefer_native:
         try:
             from . import native

@@ -128,7 +128,14 @@ def read_pileup(path: str, samples=None, min_baseq: int = 0,
     """Parse a multi-sample mpileup file into a :class:`CountsData`.
 
     Uses the C++ scanner when available, the Python parser otherwise.
+    Gzipped (.gz) pileups are handled transparently.
     """
+    if str(path).endswith(".gz"):
+        from .io import decompressed
+
+        with decompressed(path) as plain:
+            return read_pileup(plain, samples=samples, min_baseq=min_baseq,
+                               prefer_native=prefer_native)
     if prefer_native:
         from . import native
 

@@ -63,3 +63,34 @@ def test_fit_txt_roundtrip(tmp_path):
     rec = io.read_fit_txt(p)
     assert rec["G"] == 3 and rec["V"] == 100 and rec["S"] == 8
     assert np.isclose(rec["mean_deviance"], 123.4)
+
+
+def test_gzipped_counts_csv(tmp_path):
+    """Gzipped counts CSVs read identically to plain ones (both readers)."""
+    import gzip
+
+    from desman_tpu import synth
+
+    t = synth.generate(V=30, S=4, G=2, coverage=40.0, seed=8)
+    plain = tmp_path / "c.csv"
+    io.write_counts_csv(str(plain), t.data)
+    gz = tmp_path / "c.csv.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    got = io.read_counts_csv(str(gz))
+    np.testing.assert_array_equal(got.counts, t.data.counts)
+    assert got.samples == t.data.samples
+
+
+def test_gzipped_pileup(tmp_path):
+    import gzip
+
+    from desman_tpu import synth
+    from desman_tpu.pileup import read_pileup, write_pileup
+
+    t = synth.generate(V=20, S=3, G=2, coverage=30.0, seed=9)
+    plain = tmp_path / "p.pileup"
+    write_pileup(str(plain), t.data)
+    gz = tmp_path / "p.pileup.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    got = read_pileup(str(gz))
+    np.testing.assert_array_equal(got.counts, t.data.counts)
