@@ -200,9 +200,7 @@ def _geneassign(argv) -> int:
     )
 
     gamma = io.read_gamma_csv(args.gamma_file)          # [S,G]
-    gdf = pd.read_csv(args.gene_cov_file, index_col=0)  # [D,S]
-    # genecov/extract prepend an n_positions metadata column — not a sample
-    gdf = gdf.drop(columns=["n_positions"], errors="ignore")
+    gdf = io.read_gene_cov_csv(args.gene_cov_file)      # [D,S]
     gene_cov = gdf.to_numpy(dtype=np.float64)
     if args.total_cov_file:
         total = pd.read_csv(args.total_cov_file, index_col=0).to_numpy().ravel()
@@ -284,7 +282,7 @@ def _resolvenhap(argv) -> int:
     if args.output_file:
         with open(args.output_file, "w") as f:
             f.write("G,seed,uncertainty,mean_deviance,run_dir\n" + line + "\n")
-    if args.copy_dir:
+    if args.copy_dir and sel.run_dir:
         import shutil
 
         os.makedirs(args.copy_dir, exist_ok=True)
@@ -292,8 +290,8 @@ def _resolvenhap(argv) -> int:
         for name in ("Filtered_Tau_star.csv", "Tau_mean.csv", "Gamma_mean.csv",
                      "Gamma_star.csv", "Eta_mean.csv", "Eta_star.csv",
                      "fit.txt"):
-            src = os.path.join(sel.run_dir or "", name)
-            if sel.run_dir and os.path.isfile(src):
+            src = os.path.join(sel.run_dir, name)
+            if os.path.isfile(src):
                 shutil.copy2(src, os.path.join(args.copy_dir, name))
                 copied += 1
         print(f"resolvenhap: copied {copied} files from {sel.run_dir} "
@@ -430,19 +428,20 @@ def _multibin(argv) -> int:
                         fix_eta=eta is not None)
     # unique out dir per bin: basename, disambiguated by parent dir then
     # index ('bin1/counts.csv bin2/counts.csv' must not collide)
-    names = []
-    for f in args.counts_files:
-        base = os.path.splitext(os.path.basename(f))[0]
-        if sum(os.path.splitext(os.path.basename(g))[0] == base
-               for g in args.counts_files) > 1:
-            parent = os.path.basename(os.path.dirname(os.path.abspath(f)))
-            base = f"{parent}_{base}"
-        names.append(base)
-    seen = {}
+    from collections import Counter
+
+    stems = [os.path.splitext(os.path.basename(f))[0] for f in args.counts_files]
+    stem_count = Counter(stems)
+    names = [
+        f"{os.path.basename(os.path.dirname(os.path.abspath(f)))}_{stem}"
+        if stem_count[stem] > 1 else stem
+        for f, stem in zip(args.counts_files, stems)
+    ]
+    seen: dict = Counter()
     out_dirs = []
     for base in names:
-        k = seen.get(base, 0)
-        seen[base] = k + 1
+        k = seen[base]
+        seen[base] += 1
         out_dirs.append(args.output_stub + (base if k == 0 else f"{base}_{k}"))
     run_bins_files(args.counts_files, cfg, out_dirs, seed=args.seed,
                    eta_init=eta, tau_sweep=tau_sweep)

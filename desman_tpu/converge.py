@@ -18,9 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import run_segment
-from .sampler import (
-    SamplerConfig, SamplerResult, init_accum, init_state, tau_sweep_xla,
-)
+from .sampler import SamplerConfig, init_accum, init_state, tau_sweep_xla
 from .sampler import _result_from_accum
 
 

@@ -160,6 +160,16 @@ def write_counts_csv(path: str, data: CountsData) -> None:
     pd.DataFrame(out).to_csv(path, index=False)
 
 
+def read_gene_cov_csv(path: str) -> pd.DataFrame:
+    """Gene-coverage matrix [D genes x S samples] (GeneAssign input).
+
+    Drops the ``n_positions`` metadata column genecov/extract prepend —
+    it is bookkeeping, not a sample.
+    """
+    df = pd.read_csv(path, index_col=0)
+    return df.drop(columns=["n_positions"], errors="ignore")
+
+
 def read_eta_csv(path: str) -> np.ndarray:
     """Read a tran_df.csv-style 4x4 eta (row = true base, col = read base)."""
     df = pd.read_csv(path, index_col=0)

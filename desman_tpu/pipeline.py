@@ -107,9 +107,8 @@ def run_pipeline(config: dict) -> dict:
             strain_coverage,
         )
 
-        gdf = pd.read_csv(genes["coverage_csv"], index_col=0)
-        drop = [c for c in gdf.columns if c == "n_positions"]
-        gene_cov = gdf.drop(columns=drop).to_numpy(dtype=np.float64)
+        gdf = io.read_gene_cov_csv(genes["coverage_csv"])
+        gene_cov = gdf.to_numpy(dtype=np.float64)
         gamma = io.read_gamma_csv(
             os.path.join(selres.run_dir, "Gamma_mean.csv"))
         total = sample_total_coverage(data.counts)
