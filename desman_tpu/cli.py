@@ -469,6 +469,69 @@ def _strainfasta(argv) -> int:
     return 0
 
 
+def _diag(argv) -> int:
+    ap = argparse.ArgumentParser(
+        prog="desman-diag",
+        description="Convergence diagnostics over finished run dirs: "
+        "per-G split R-hat / bulk ESS on the post-burn loglik traces and "
+        "pairwise replicate tau agreement (taucomp semantics, SURVEY.md §4)",
+    )
+    ap.add_argument("run_dirs", nargs="+", help="run output dirs (globs ok)")
+    ap.add_argument("-b", "--burn_frac", type=float, default=0.5,
+                    help="fraction of each trace to discard as burn-in")
+    ap.add_argument("-o", "--output", default=None, help="write CSV here")
+    args = ap.parse_args(argv)
+
+    import numpy as _np
+
+    from . import io
+    from .diagnostics import ess_bulk, replicate_agreement, split_rhat
+
+    dirs = []
+    for pat in args.run_dirs:
+        hits = sorted(globlib.glob(pat))
+        dirs.extend(hits if hits else [pat])
+    by_g: dict = {}
+    for d in dirs:
+        fit_path = os.path.join(d, "fit.txt")
+        trace_path = os.path.join(d, "loglik_trace.csv")
+        if not (os.path.isfile(fit_path) and os.path.isfile(trace_path)):
+            continue
+        G = io.read_fit_txt(fit_path)["G"]
+        trace = _np.loadtxt(trace_path)
+        tau, _, _ = io.read_tau_star_csv(
+            os.path.join(d, "Filtered_Tau_star.csv"))
+        by_g.setdefault(G, []).append((d, trace, tau))
+    if not by_g:
+        print("diag: no run dirs with fit.txt + loglik_trace.csv",
+              file=sys.stderr)
+        return 1
+    rows = []
+    for G in sorted(by_g):
+        runs = by_g[G]
+        n_draws = min(len(t) for _, t, _ in runs)
+        post = _np.stack([t[int(n_draws * args.burn_frac):n_draws]
+                          for _, t, _ in runs])
+        rhat = split_rhat(post) if len(runs) > 1 else float("nan")
+        ess = ess_bulk(post)
+        agree = replicate_agreement([tau for _, _, tau in runs])
+        off = agree[_np.triu_indices(len(runs), k=1)]
+        rows.append({
+            "G": G, "chains": len(runs), "split_rhat": rhat,
+            "ess_bulk": ess,
+            "max_replicate_snp_distance": int(off.max()) if off.size else 0,
+        })
+        print(f"G={G}: chains={len(runs)} split_rhat={rhat:.4f} "
+              f"ess={ess:.1f} max_replicate_snp_dist="
+              f"{rows[-1]['max_replicate_snp_distance']}")
+    if args.output:
+        import pandas as pd
+
+        pd.DataFrame(rows).to_csv(args.output, index=False)
+        print(f"diag: wrote {args.output}")
+    return 0
+
+
 def _collate(argv) -> int:
     ap = argparse.ArgumentParser(
         prog="desman-collate",
@@ -530,6 +593,7 @@ _COMMANDS = {
     "extract": _extract,
     "multibin": _multibin,
     "strainfasta": _strainfasta,
+    "diag": _diag,
     "collate": _collate,
 }
 

@@ -130,6 +130,22 @@ def test_resolvenhap_cli(workdir, tmp_path, capsys):
         assert open(dst).read() == open(src).read()
 
 
+def test_diag_cli(workdir, tmp_path, capsys):
+    d, t = workdir
+    for s in (0, 1):
+        main(["desman", str(d / "counts.csv"), "-g", "2", "-s", str(s),
+              "-o", str(tmp_path / f"dg_2_{s}"), "-i", "30"])
+    rc = main(["diag", str(tmp_path / "dg_*"),
+               "-o", str(tmp_path / "diag.csv")])
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "diag.csv")
+    row = df[df.G == 2].iloc[0]
+    assert row.chains == 2
+    assert np.isfinite(row.split_rhat) and row.ess_bulk > 0
+    # two seeds on easy data agree on the haplotypes
+    assert row.max_replicate_snp_distance <= 2
+
+
 def test_unknown_command():
     assert main(["bogus"]) == 2
 
