@@ -1,14 +1,24 @@
 """Command-line entry points (the reference's L3 layer, SURVEY.md §1).
 
-Four subcommands mirroring the reference's CLI surface and flag semantics
+Subcommands mirroring the reference's CLI surface and flag semantics
 (SURVEY.md §8: ``bin/desman``'s -g/-e/-o/-i/-s/-r/-m, the filter CLI, the
-GeneAssign CLI, and resolvenhap):
+GeneAssign CLI, resolvenhap) plus the TPU-native extensions:
 
-    python -m desman_tpu.cli extract    pileup.txt -n names.txt -o counts.csv
-    python -m desman_tpu.cli desman     counts.csv -g 5 -e tran_df.csv -o out -i 250 -s 0
-    python -m desman_tpu.cli filter     counts.csv -o stub -m 5 -q 0.05
-    python -m desman_tpu.cli geneassign -g out/Gamma_mean.csv -c gene_cov.csv -o stub
-    python -m desman_tpu.cli resolvenhap out_stub_*  -o best.txt
+    extract      mpileup -> counts CSV (+ gene coverage); native C++ scanner
+    filter       variant-position LLR filter -> sel_var/p/q/tran_df CSVs
+    desman       tau/gamma/eta Gibbs deconvolution (--chains, --pt,
+                 --auto_burn, --checkpoint, --kernel pallas, --mesh CxD)
+    multibin     deconvolve many genome bins in one device program
+    pipeline     filter -> G-grid -> selection (-> genes) from one YAML
+    resolvenhap  pick the number of strains from a run grid (-c copies)
+    collate      one CSV of a run grid's fit records
+    diag         split R-hat / ESS / replicate tau agreement per G
+    geneassign   accessory-gene strain assignment (+ --assign_tau)
+    genecov      per-gene coverage matrix from a counts CSV
+    validate     permutation-matched SNP/gamma error vs ground truth
+    strainfasta  strain genome sequences from tau calls
+
+    python -m desman_tpu.cli <command> --help   # per-command flags
 
 Exact reference flag letters are [M] (mount was empty — SURVEY.md §9.5);
 semantics follow the published usage. Long options are provided for all.
