@@ -34,6 +34,20 @@ import sys
 import numpy as np
 
 
+def _expand_dirs(patterns) -> list:
+    """Glob-expand run-dir patterns, deduplicated, order-preserving."""
+    seen = set()
+    dirs = []
+    for pat in patterns:
+        hits = sorted(globlib.glob(pat))
+        for d in hits if hits else [pat]:
+            key = os.path.normpath(os.path.abspath(d))
+            if key not in seen:
+                seen.add(key)
+                dirs.append(d)
+    return dirs
+
+
 def _desman(argv) -> int:
     ap = argparse.ArgumentParser(
         prog="desman", description="Strain deconvolution (tau/gamma/eta Gibbs sampler)"
@@ -275,11 +289,8 @@ def _resolvenhap(argv) -> int:
 
     from .model_selection import resolve_nhap, scan_run_dirs
 
-    dirs = []
-    for pat in args.run_dirs:
-        hits = sorted(globlib.glob(pat))
-        dirs.extend(hits if hits else [pat])
-    dirs = [d for d in dirs if os.path.isfile(os.path.join(d, "fit.txt"))]
+    dirs = [d for d in _expand_dirs(args.run_dirs)
+            if os.path.isfile(os.path.join(d, "fit.txt"))]
     if not dirs:
         print("resolvenhap: no run dirs with fit.txt", file=sys.stderr)
         return 1
@@ -492,42 +503,41 @@ def _diag(argv) -> int:
     ap.add_argument("-o", "--output", default=None, help="write CSV here")
     args = ap.parse_args(argv)
 
-    import numpy as _np
-
     from . import io
     from .diagnostics import ess_bulk, replicate_agreement, split_rhat
 
-    dirs = []
-    for pat in args.run_dirs:
-        hits = sorted(globlib.glob(pat))
-        dirs.extend(hits if hits else [pat])
-    by_g: dict = {}
-    for d in dirs:
+    # group by (G, V): same strain count AND same position set (different
+    # bins/datasets with equal G must not be compared as replicates)
+    by_key: dict = {}
+    for d in _expand_dirs(args.run_dirs):
         fit_path = os.path.join(d, "fit.txt")
         trace_path = os.path.join(d, "loglik_trace.csv")
-        if not (os.path.isfile(fit_path) and os.path.isfile(trace_path)):
+        tau_path = os.path.join(d, "Filtered_Tau_star.csv")
+        if not (os.path.isfile(fit_path) and os.path.isfile(trace_path)
+                and os.path.isfile(tau_path)):
             continue
         G = io.read_fit_txt(fit_path)["G"]
-        trace = _np.loadtxt(trace_path)
-        tau, _, _ = io.read_tau_star_csv(
-            os.path.join(d, "Filtered_Tau_star.csv"))
-        by_g.setdefault(G, []).append((d, trace, tau))
-    if not by_g:
-        print("diag: no run dirs with fit.txt + loglik_trace.csv",
-              file=sys.stderr)
+        # each trace drops its OWN burn fraction, then chains align on their
+        # LAST n common draws (auto_burn / mixed -i traces differ in length)
+        trace = np.loadtxt(trace_path, ndmin=1)
+        post = trace[int(len(trace) * args.burn_frac):]
+        tau, _, _ = io.read_tau_star_csv(tau_path)
+        by_key.setdefault((G, tau.shape[0]), []).append((d, post, tau))
+    if not by_key:
+        print("diag: no run dirs with fit.txt + loglik_trace.csv + "
+              "Filtered_Tau_star.csv", file=sys.stderr)
         return 1
     rows = []
-    for G in sorted(by_g):
-        runs = by_g[G]
+    for (G, V) in sorted(by_key):
+        runs = by_key[(G, V)]
         n_draws = min(len(t) for _, t, _ in runs)
-        post = _np.stack([t[int(n_draws * args.burn_frac):n_draws]
-                          for _, t, _ in runs])
+        post = np.stack([t[len(t) - n_draws:] for _, t, _ in runs])
         rhat = split_rhat(post) if len(runs) > 1 else float("nan")
         ess = ess_bulk(post)
         agree = replicate_agreement([tau for _, _, tau in runs])
-        off = agree[_np.triu_indices(len(runs), k=1)]
+        off = agree[np.triu_indices(len(runs), k=1)]
         rows.append({
-            "G": G, "chains": len(runs), "split_rhat": rhat,
+            "G": G, "V": V, "chains": len(runs), "split_rhat": rhat,
             "ess_bulk": ess,
             "max_replicate_snp_distance": int(off.max()) if off.size else 0,
         })
@@ -554,12 +564,8 @@ def _collate(argv) -> int:
 
     from . import io
 
-    dirs = []
-    for pat in args.run_dirs:
-        hits = sorted(globlib.glob(pat))
-        dirs.extend(hits if hits else [pat])
     rows = []
-    for d in dirs:
+    for d in _expand_dirs(args.run_dirs):
         fp = os.path.join(d, "fit.txt")
         if not os.path.isfile(fp):
             continue

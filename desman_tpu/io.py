@@ -18,6 +18,7 @@ model-selection CLI parses it).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 from dataclasses import dataclass
@@ -62,35 +63,33 @@ class CountsData:
         )
 
 
+@contextlib.contextmanager
 def decompressed(path: str):
     """Context manager yielding a plain-text path for `path`.
 
     Gzipped inputs (.gz) are streamed to a temp file for the native
     byte-level parsers (countsio/pileupio read plain files); plain paths
     pass through untouched. Counts CSVs and pileups are routinely shipped
-    gzipped, so every reader accepts both.
+    gzipped, so every reader accepts both. Parse errors raised inside the
+    block are rewritten to name the original .gz path, not the temp file.
     """
-    import contextlib
+    if not str(path).endswith(".gz"):
+        yield path
+        return
+    import gzip
+    import shutil
+    import tempfile
 
-    @contextlib.contextmanager
-    def _cm():
-        if not str(path).endswith(".gz"):
-            yield path
-            return
-        import gzip
-        import shutil
-        import tempfile
-
-        with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as tmp:
-            with gzip.open(path, "rb") as src:
-                shutil.copyfileobj(src, tmp, length=1 << 20)
-            name = tmp.name
+    tmp = tempfile.NamedTemporaryFile(suffix=".txt", delete=False)
+    try:
+        with tmp, gzip.open(path, "rb") as src:
+            shutil.copyfileobj(src, tmp, length=1 << 20)
         try:
-            yield name
-        finally:
-            os.unlink(name)
-
-    return _cm()
+            yield tmp.name
+        except ValueError as e:  # parser errors cite the temp path
+            raise ValueError(str(e).replace(tmp.name, str(path))) from None
+    finally:
+        os.unlink(tmp.name)
 
 
 def read_counts_csv(path: str, prefer_native: bool = True) -> CountsData:
