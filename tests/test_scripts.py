@@ -97,3 +97,17 @@ def test_classify_top_per_gene(tmp_path):
                            "--top_per_gene", "2", "--gene_regex", r"(.+)_\d+$"])
     row = out.read_text().splitlines()[1].split("\t")
     assert row[0] == "c" and row[3] == "PA"
+
+
+def test_plot_abundances(tmp_path):
+    import pandas as pd
+
+    import plot_abundances  # noqa: E402 (scripts dir on sys.path above)
+
+    gamma = pd.DataFrame([[0.6, 0.4], [0.3, 0.7]],
+                         index=["s1", "s2"], columns=["H1", "H2"])
+    csv = tmp_path / "Gamma_mean.csv"
+    gamma.to_csv(csv)
+    out = tmp_path / "g.png"
+    assert plot_abundances.main([str(csv), "-o", str(out)]) == 0
+    assert out.exists() and out.stat().st_size > 0
