@@ -136,7 +136,16 @@ def _desman(argv) -> int:
         maybe_initialize()
         c, d = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh(n_chain=c, n_data=d)
-    if args.chains > 1 or mesh is not None:
+    if mesh is not None and args.checkpoint and args.chains <= 1:
+        from .run import run_sharded_checkpointed
+
+        run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)
+    elif args.chains > 1 or mesh is not None:
+        if args.checkpoint:
+            print("desman: --checkpoint with --chains > 1 is not supported; "
+                  "run seeds as separate processes or drop --checkpoint",
+                  file=sys.stderr)
+            return 2
         run_multi(data, rc, n_chains=max(args.chains, 1),
                   tau_sweep=tau_sweep, mesh=mesh)
     else:

@@ -104,6 +104,102 @@ def run_chains_sharded(
     return res._replace(tau_mean=res.tau_mean[:, :V], tau_star=res.tau_star[:, :V])
 
 
+def _state_shardings(mesh: Mesh):
+    """NamedSharding per SamplerState field (position axis over 'data')."""
+    from jax.sharding import NamedSharding
+
+    from ..sampler import SamplerState
+
+    def sh(spec):
+        return NamedSharding(mesh, spec)
+
+    return SamplerState(
+        tau=sh(P(DATA_AXIS, None)), gamma=sh(P()), eta=sh(P()),
+        mix=sh(P(DATA_AXIS, None, None)), loglik=sh(P()), key=sh(P()),
+        kappa_gamma=sh(P()), kappa_eta=sh(P()),
+    )
+
+
+def _accum_shardings(mesh: Mesh):
+    from jax.sharding import NamedSharding
+
+    from ..sampler import SamplerAccum
+
+    def sh(spec):
+        return NamedSharding(mesh, spec)
+
+    return SamplerAccum(
+        sum_tau=sh(P(DATA_AXIS, None, None)), sum_gamma=sh(P()),
+        sum_eta=sh(P()), sum_loglik=sh(P()), n_samples=sh(P()),
+        star_loglik=sh(P()), star_tau=sh(P(DATA_AXIS, None)),
+        star_gamma=sh(P()), star_eta=sh(P()),
+        acc_gamma=sh(P()), acc_eta=sh(P()),
+    )
+
+
+def run_chain_sharded_checkpointed(
+    counts: np.ndarray,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    checkpoint_path: str,
+    checkpoint_every: int = 50,
+    mesh: Optional[Mesh] = None,
+    eta_init=None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """Position-sharded single chain with periodic checkpoints/exact resume.
+
+    Long big-V runs (the regime sharding exists for — docs/SCALING.md) get
+    the same crash-resume guarantee as the single-device path: identical
+    results to an uninterrupted sharded run. Snapshots gather to host npz
+    (single-controller; per-process sharded snapshots are a multi-host
+    follow-up) and are re-placed with the mesh shardings on resume.
+    """
+    import os as _os
+
+    from ..checkpoint import load, run_segment, save
+    from ..sampler import init_accum, init_state
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    padded, V = pad_positions(np.asarray(counts, np.float32), n_data)
+    n_dev = shard_counts(jnp.asarray(padded), mesh)
+    eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
+
+    st_sh = _state_shardings(mesh)
+    ac_sh = _accum_shardings(mesh)
+    if _os.path.exists(checkpoint_path):
+        state, accum, it, trace_done = load(checkpoint_path)
+        state = jax.tree_util.tree_map(jax.device_put, state, st_sh)
+        accum = jax.tree_util.tree_map(jax.device_put, accum, ac_sh)
+        trace_parts = [trace_done[:it]]
+    else:
+        state = jax.jit(
+            lambda n, k: init_state(n, cfg, k, eta),
+            static_argnames=(), out_shardings=st_sh,
+        )(n_dev, key)
+        accum = jax.tree_util.tree_map(
+            jax.device_put, init_accum(padded.shape[0], padded.shape[1], cfg.G),
+            ac_sh,
+        )
+        it = 0
+        trace_parts = []
+
+    while it < cfg.total_sweeps:
+        seg = min(checkpoint_every, cfg.total_sweeps - it)
+        state, accum, trace = run_segment(
+            n_dev, cfg, state, accum, it, seg, tau_sweep=tau_sweep,
+        )
+        it += seg
+        trace_parts.append(np.asarray(trace))
+        save(checkpoint_path, state, accum, it, np.concatenate(trace_parts))
+
+    from ..sampler import _result_from_accum
+
+    res = _result_from_accum(accum, cfg, jnp.asarray(np.concatenate(trace_parts)))
+    return res._replace(tau_mean=res.tau_mean[:V], tau_star=res.tau_star[:V])
+
+
 def run_chain_pt_sharded(
     counts: np.ndarray,
     cfg: SamplerConfig,

@@ -174,6 +174,32 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     return res
 
 
+def run_sharded_checkpointed(
+    data: io.CountsData, rc: RunConfig, mesh, tau_sweep=None,
+) -> SamplerResult:
+    """Single position-sharded chain with checkpoint/resume (--mesh +
+    --checkpoint): the long big-V regime (docs/SCALING.md)."""
+    import jax.numpy as jnp
+
+    from .parallel import run_chain_sharded_checkpointed
+    from .sampler import tau_sweep_xla
+
+    data = prepare_data(data, rc.min_coverage, rc.n_positions, rc.seed)
+    cfg = sampler_config(rc)
+    eta_init = None
+    if rc.eta_file:
+        eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+    t0 = time.time()
+    res = run_chain_sharded_checkpointed(
+        data.counts, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
+        checkpoint_every=rc.checkpoint_every, mesh=mesh, eta_init=eta_init,
+        tau_sweep=tau_sweep or tau_sweep_xla,
+    )
+    jax.block_until_ready(res.star_loglik)
+    write_outputs(rc.out_dir, data, res, cfg, time.time() - t0)
+    return res
+
+
 def run_multi(
     data: io.CountsData, rc: RunConfig, n_chains: int, tau_sweep=None,
     mesh=None,

@@ -110,3 +110,43 @@ def test_desman_cli_mesh(small_synth, tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(os.path.join(out, "chains.json"))
+
+
+def test_sharded_checkpoint_resume(small_synth, tmp_path):
+    """Interrupted + resumed sharded run == uninterrupted sharded run with
+    the SAME segmentation (bitwise: only the npz round-trip differs).
+
+    The comparison partner must share the segment schedule: different
+    segment lengths compile different GSPMD programs whose psum orderings
+    differ in the last ulp, which can flip a borderline MH acceptance —
+    that is cross-program float noise, not a resume defect."""
+    from desman_tpu.parallel import run_chain_sharded_checkpointed
+    from desman_tpu.sampler import run_chain
+
+    t = small_synth
+    key = jax.random.PRNGKey(13)
+    mesh = make_mesh(n_chain=1, n_data=4, devices=jax.devices()[:4])
+
+    partial_cfg = SamplerConfig(G=2, burn=6, samples=1, nmf_iters=30)
+    full_cfg = SamplerConfig(G=2, burn=6, samples=6, nmf_iters=30)
+    # "crash" after one 7-sweep segment, then resume the full run
+    ckpt = str(tmp_path / "sh.npz")
+    run_chain_sharded_checkpointed(t.data.counts, partial_cfg, key, ckpt,
+                                   checkpoint_every=7, mesh=mesh)
+    got = run_chain_sharded_checkpointed(t.data.counts, full_cfg, key, ckpt,
+                                         checkpoint_every=7, mesh=mesh)
+    ref = run_chain_sharded_checkpointed(
+        t.data.counts, full_cfg, key, str(tmp_path / "ref.npz"),
+        checkpoint_every=7, mesh=mesh,
+    )
+    assert np.array_equal(np.asarray(got.tau_star), np.asarray(ref.tau_star))
+    np.testing.assert_array_equal(np.asarray(got.loglik_trace),
+                                  np.asarray(ref.loglik_trace))
+    np.testing.assert_array_equal(np.asarray(got.gamma_mean),
+                                  np.asarray(ref.gamma_mean))
+    # and the single-device chain agrees up to cross-program float noise
+    sd = run_chain(jnp.asarray(t.data.counts, jnp.float32), full_cfg, key)
+    np.testing.assert_allclose(np.asarray(got.loglik_trace),
+                               np.asarray(sd.loglik_trace), rtol=1e-4)
+    agree = (np.asarray(got.tau_star) == np.asarray(sd.tau_star)).mean()
+    assert agree > 0.99, agree
