@@ -29,8 +29,16 @@ def maybe_initialize(
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU
     pod runtime that auto-configures). Returns True when running multi-host.
     """
-    if jax.process_count() > 1:
-        return True
+    # Don't probe jax.process_count() here: it initializes the XLA backend,
+    # after which jax.distributed.initialize() refuses to run. Check the
+    # distributed client state directly instead.
+    try:
+        from jax._src.distributed import global_state as _dist_state
+        already = _dist_state.client is not None
+    except Exception:  # pragma: no cover - private-API fallback
+        already = False
+    if already:
+        return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return False
@@ -43,6 +51,15 @@ def maybe_initialize(
         kwargs["num_processes"] = int(n)
     if p is not None:
         kwargs["process_id"] = int(p)
+    # CPU multi-process needs a cross-host collectives backend; XLA's default
+    # ("none") would deadlock the first psum. Gloo ships with jaxlib and is
+    # what tests/test_multiprocess.py exercises; TPU pods ignore this knob.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or (
+            jax.config.jax_platforms == "cpu"):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     jax.distributed.initialize(**kwargs)
     return jax.process_count() > 1
 
