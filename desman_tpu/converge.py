@@ -10,6 +10,7 @@ number of sweeps.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 from typing import Optional
 
@@ -17,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import run_segment
+from .checkpoint import (
+    init_chains, load, load_extras, run_segment, run_segment_chains, save,
+)
 from .sampler import SamplerConfig, init_accum, init_state, tau_sweep_xla
 from .sampler import _result_from_accum
 
@@ -95,3 +98,107 @@ def run_chain_auto(
         jnp.asarray(np.concatenate(trace_parts)),
     )
     return res, it
+
+
+def run_chains_auto(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    keys: jax.Array,
+    eta_init=None,
+    tau_init=None,
+    check_every: int = 50,
+    rel_tol: float = 1e-5,
+    max_burn: int = 2000,
+    tau_sweep=tau_sweep_xla,
+    checkpoint_path: Optional[str] = None,
+):
+    """Multi-chain run_chain_auto with optional checkpoint/resume.
+
+    keys: [C,2] stacked PRNG keys. Burn-in advances all chains together in
+    ``check_every``-sweep segments until EVERY chain's segment-mean loglik
+    plateaus (per-chain detection, same bar as run_chain_auto) or
+    ``max_burn`` is hit; then ``cfg.samples`` sweeps are accumulated for all
+    chains from that common point. With ``checkpoint_path`` each segment is
+    snapshotted (plateau-detector state included via the extras channel) and
+    a resumed run reproduces an uninterrupted one. Returns (vmapped
+    SamplerResult, burn_used).
+    """
+    n = n.astype(jnp.float32)
+    C = keys.shape[0]
+    max_burn = max(max_burn, cfg.burn)
+    never = jnp.int32(np.iinfo(np.int32).max)  # phase 1: accumulate nothing
+
+    it = 0
+    burn_used = -1  # -1 == still in phase 1
+    prev_mean = np.full(C, np.nan, np.float64)
+    done = np.zeros(C, bool)
+    trace_parts = []
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        states, accums, it, trace_done = load(checkpoint_path)
+        ex = load_extras(checkpoint_path)
+        burn_used = int(ex["burn_used"])
+        prev_mean = np.asarray(ex["prev_mean"], np.float64)
+        done = np.asarray(ex["done"]).astype(bool)
+        trace_parts = [np.asarray(trace_done)[:, :it]]
+    else:
+        states, accums = init_chains(n, cfg, keys, eta_init, tau_init)
+
+    def _snapshot():
+        if checkpoint_path:
+            trace = (np.concatenate(trace_parts, axis=1) if trace_parts
+                     else np.zeros((C, 0), np.float32))
+            save(checkpoint_path, states, accums, it, trace,
+                 extras={"burn_used": burn_used, "prev_mean": prev_mean,
+                         "done": done})
+
+    # phase 1 — burn until every chain plateaus (accums is discarded scratch)
+    while burn_used < 0:
+        if done.all() or it >= max_burn:
+            burn_used = it
+            _snapshot()
+            break
+        seg = min(check_every, max_burn - it)
+        states, accums, trace = run_segment_chains(
+            n, cfg, states, accums, it, seg, tau_sweep=tau_sweep, burn=never,
+        )
+        it += seg
+        trace = np.asarray(trace)                       # [C, seg]
+        trace_parts.append(trace)
+        mean = trace.mean(axis=1)
+        stderr = trace.std(axis=1) / max(np.sqrt(seg), 1.0)
+        if it >= cfg.burn:
+            improvement = mean - prev_mean
+            done |= (~np.isnan(prev_mean)) & (
+                (improvement < 2.0 * stderr)
+                | (np.abs(improvement)
+                   < rel_tol * np.maximum(np.abs(prev_mean), 1.0))
+            )
+        prev_mean = mean
+        if done.all() or it >= max_burn:
+            burn_used = it
+        _snapshot()
+
+    # phase 2 — accumulate cfg.samples sweeps; traced burn gates on >= it
+    target = burn_used + cfg.samples
+    while it < target:
+        if it == burn_used:  # entering phase 2: drop the scratch accums
+            V, S, _ = n.shape
+            accums = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (C,) + jnp.shape(x)),
+                init_accum(V, S, cfg.G),
+            )
+        seg = min(check_every, target - it) if checkpoint_path else target - it
+        states, accums, trace = run_segment_chains(
+            n, cfg, states, accums, it, seg, tau_sweep=tau_sweep,
+            burn=jnp.int32(burn_used),
+        )
+        it += seg
+        trace_parts.append(np.asarray(trace))
+        _snapshot()
+
+    trace = jnp.asarray(np.concatenate(trace_parts, axis=1))
+    res_cfg = replace(cfg, burn=0, samples=cfg.samples)
+    res = jax.vmap(lambda ac, tr: _result_from_accum(ac, res_cfg, tr))(
+        accums, trace
+    )
+    return res, burn_used

@@ -118,10 +118,26 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     from .profiling import device_trace
 
     t0 = time.time()
-    if rc.auto_burn and (rc.checkpoint_path or rc.pt_replicas >= 2):
-        raise ValueError("auto_burn is incompatible with checkpoint/pt")
+    if rc.auto_burn and rc.pt_replicas >= 2:
+        raise ValueError("auto_burn is incompatible with pt")
     with device_trace(rc.profile_dir):
-        if rc.auto_burn:
+        if rc.auto_burn and rc.checkpoint_path:
+            import jax.tree_util as jtu
+
+            from .converge import run_chains_auto
+
+            res_v, burn_used = run_chains_auto(
+                n, cfg, jax.random.PRNGKey(rc.seed)[None], eta_init=eta_init,
+                tau_init=tau_init, rel_tol=rc.auto_tol,
+                max_burn=rc.auto_max_burn,
+                checkpoint_path=rc.checkpoint_path,
+                tau_sweep=tau_sweep or tau_sweep_xla,
+            )
+            res = jtu.tree_map(lambda x: x[0], res_v)
+            from dataclasses import replace as _replace
+
+            cfg = _replace(cfg, burn=burn_used)
+        elif rc.auto_burn:
             from .converge import run_chain_auto
 
             res, burn_used = run_chain_auto(
@@ -136,13 +152,12 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         elif rc.checkpoint_path and rc.pt_replicas >= 2:
             from .checkpoint import run_chain_pt_checkpointed
 
-            if tau_init is not None:
-                raise ValueError("tau_file is not supported with pt_replicas")
             res = run_chain_pt_checkpointed(
                 n, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
                 checkpoint_every=rc.checkpoint_every,
                 n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp,
-                eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
+                eta_init=eta_init, tau_init=tau_init,
+                tau_sweep=tau_sweep or tau_sweep_xla,
             )
         elif rc.checkpoint_path:
             from .checkpoint import run_chain_checkpointed
@@ -155,12 +170,11 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         elif rc.pt_replicas >= 2:
             from .sampler import run_chain_pt
 
-            if tau_init is not None:
-                raise ValueError("tau_file is not supported with pt_replicas")
             res = run_chain_pt(
                 n, cfg, jax.random.PRNGKey(rc.seed),
                 n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp,
-                eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
+                eta_init=eta_init, tau_init=tau_init,
+                tau_sweep=tau_sweep or tau_sweep_xla,
             )
         else:
             res = run_chain(
@@ -200,13 +214,44 @@ def run_sharded_checkpointed(
     return res
 
 
+def run_pt_sharded(
+    data: io.CountsData, rc: RunConfig, mesh, tau_sweep=None,
+) -> SamplerResult:
+    """Parallel tempering on a (chain, data) mesh (--pt + --mesh): replicas
+    shard over the chain axis, positions over the data axis."""
+    import jax.numpy as jnp
+
+    from .parallel import run_chain_pt_sharded
+    from .sampler import tau_sweep_xla
+
+    data = prepare_data(data, rc.min_coverage, rc.n_positions, rc.seed)
+    cfg = sampler_config(rc)
+    eta_init = None
+    if rc.eta_file:
+        eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+    t0 = time.time()
+    res = run_chain_pt_sharded(
+        data.counts, cfg, jax.random.PRNGKey(rc.seed),
+        n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp, mesh=mesh,
+        eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
+    )
+    jax.block_until_ready(res.star_loglik)
+    write_outputs(rc.out_dir, data, res, cfg, time.time() - t0)
+    return res
+
+
 def run_multi(
     data: io.CountsData, rc: RunConfig, n_chains: int, tau_sweep=None,
     mesh=None,
 ) -> SamplerResult:
     """Run n_chains vmapped chains (seeds rc.seed..rc.seed+n-1) on one device
     program and write the best-by-star-likelihood chain's outputs (the
-    reference's multi-replicate loop collapsed on-device, SURVEY.md §2.2)."""
+    reference's multi-replicate loop collapsed on-device, SURVEY.md §2.2).
+
+    Composes with the other run modes (VERDICT r1 item 4): --pt gives
+    n_chains independent tempering runs, --checkpoint snapshots/resumes the
+    whole vmapped ensemble, --auto_burn burns until every chain plateaus.
+    """
     import jax.numpy as jnp
 
     from .sampler import run_chains, tau_sweep_xla
@@ -216,19 +261,52 @@ def run_multi(
     eta_init = None
     if rc.eta_file:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+    tau_init = None
+    if rc.tau_file:
+        tau_init = jnp.asarray(load_tau_init(rc.tau_file, data), jnp.int32)
+    elif rc.fix_tau:
+        raise ValueError("fix_tau requires tau_file")
 
     n = jnp.asarray(data.counts, jnp.float32)
     seeds = list(range(rc.seed, rc.seed + n_chains))
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+    sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
     t0 = time.time()
-    if mesh is not None:
+    if rc.auto_burn:
+        from .converge import run_chains_auto
+
+        res, burn_used = run_chains_auto(
+            n, cfg, keys, eta_init=eta_init, tau_init=tau_init,
+            rel_tol=rc.auto_tol, max_burn=rc.auto_max_burn,
+            checkpoint_path=rc.checkpoint_path, **sweep_kw,
+        )
+        from dataclasses import replace as _replace
+
+        cfg = _replace(cfg, burn=burn_used)  # metrics report real sweeps
+    elif rc.pt_replicas >= 2:
+        from .sampler import run_chains_pt
+
+        res = run_chains_pt(
+            n, cfg, seeds, n_replicas=rc.pt_replicas,
+            max_temp=rc.pt_max_temp, eta_init=eta_init, tau_init=tau_init,
+            **sweep_kw,
+        )
+    elif rc.checkpoint_path:
+        from .checkpoint import run_chains_checkpointed
+
+        res = run_chains_checkpointed(
+            n, cfg, keys, rc.checkpoint_path,
+            checkpoint_every=rc.checkpoint_every, eta_init=eta_init,
+            tau_init=tau_init, **sweep_kw,
+        )
+    elif mesh is not None:
         from .parallel import run_chains_sharded
 
         res = run_chains_sharded(data.counts, cfg, seeds, mesh=mesh,
-                                 eta_init=eta_init,
-                                 tau_sweep=tau_sweep or tau_sweep_xla)
+                                 eta_init=eta_init, **sweep_kw)
     else:
         res = run_chains(n, cfg, seeds, eta_init=eta_init,
-                         tau_sweep=tau_sweep or tau_sweep_xla)
+                         tau_init=tau_init, **sweep_kw)
     jax.block_until_ready(res.loglik_trace)
     elapsed = time.time() - t0
 

@@ -708,12 +708,35 @@ def run_chains(
     cfg: SamplerConfig,
     seeds,
     eta_init: Optional[jax.Array] = None,
+    tau_init: Optional[jax.Array] = None,
     tau_sweep=tau_sweep_xla,
 ) -> SamplerResult:
     """vmap independent chains over seeds (the reference's shell-level
     replicate fan-out, SURVEY.md §2.2, collapsed into one device program)."""
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in np.asarray(seeds)])
-    fn = lambda k: run_chain(n, cfg, k, eta_init=eta_init, tau_sweep=tau_sweep)
+    fn = lambda k: run_chain(n, cfg, k, eta_init=eta_init, tau_init=tau_init,
+                             tau_sweep=tau_sweep)
+    return jax.vmap(fn)(keys)
+
+
+def run_chains_pt(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    seeds,
+    n_replicas: int = 4,
+    max_temp: float = 8.0,
+    eta_init: Optional[jax.Array] = None,
+    tau_init: Optional[jax.Array] = None,
+    tau_sweep=tau_sweep_xla,
+) -> SamplerResult:
+    """vmap independent parallel-tempering runs over seeds (chains x replicas
+    nested batching — the full replicate fan-out of SURVEY.md §2.2 with the
+    mixing upgrade of run_chain_pt in one device program)."""
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in np.asarray(seeds)])
+    fn = lambda k: run_chain_pt(
+        n, cfg, k, n_replicas=n_replicas, max_temp=max_temp,
+        eta_init=eta_init, tau_init=tau_init, tau_sweep=tau_sweep,
+    )
     return jax.vmap(fn)(keys)
 
 
