@@ -96,6 +96,15 @@ def _desman(argv) -> int:
     ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
                     help="shard over a device mesh, e.g. 2x4 (chain x "
                     "position axes); requires --chains >= chain axis")
+    ap.add_argument("--eta_update", choices=["rows", "joint"], default="rows",
+                    help="error-matrix MH: 4 per-row updates (reference "
+                    "semantics) or one blocked update (1 collective/sweep "
+                    "on a mesh — use for small V/device)")
+    ap.add_argument("--store_every", type=int, default=0, metavar="K",
+                    help="write every K-th post-burn (tau,gamma,eta) draw "
+                    "to <out>/draws.npz (K must divide the sampling "
+                    "sweeps); composes with --chains/--mesh but not "
+                    "--pt/--checkpoint/--auto_burn")
     args = ap.parse_args(argv)
 
     from . import io
@@ -113,7 +122,8 @@ def _desman(argv) -> int:
         fix_tau=args.tau_fixed is not None,
         pt_replicas=args.pt, pt_max_temp=args.pt_max_temp,
         auto_burn=args.auto_burn, auto_tol=args.auto_tol,
-        auto_max_burn=args.auto_max_burn,
+        auto_max_burn=args.auto_max_burn, eta_update=args.eta_update,
+        store_every=args.store_every,
     )
     # capability matrix (VERDICT r1 item 4): every pairwise mode combination
     # composes except tempering with plateau-detected burn-in (a temperature
@@ -133,6 +143,11 @@ def _desman(argv) -> int:
         return 2
     if args.mesh and args.checkpoint and args.chains > 1:
         print("desman: --mesh --checkpoint --chains is not yet supported",
+              file=sys.stderr)
+        return 2
+    if args.store_every and (args.pt >= 2 or args.auto_burn or args.checkpoint):
+        print("desman: --store_every composes with plain/--chains/--mesh "
+              "runs only (not --pt/--checkpoint/--auto_burn)",
               file=sys.stderr)
         return 2
     from .ops import resolve_tau_sweep
@@ -566,6 +581,19 @@ def _diag(argv) -> int:
         print(f"G={G}: chains={len(runs)} split_rhat={rhat:.4f} "
               f"ess={ess:.1f} max_replicate_snp_dist="
               f"{rows[-1]['max_replicate_snp_distance']}")
+        # per-parameter diagnostics from stored posterior draws, when a run
+        # was executed with --store_every (loglik can look converged while
+        # an individual abundance still drifts)
+        from .diagnostics import draws_diagnostics
+
+        for d, _, _ in runs:
+            dpath = os.path.join(d, "draws.npz")
+            if os.path.isfile(dpath):
+                dd = draws_diagnostics(io.read_draws(dpath))
+                rows[-1].update({f"draws_{k}": v for k, v in dd.items()})
+                print(f"  draws[{d}]: n={dd['n_draws']} "
+                      f"gamma_ess_min={dd['gamma_ess_min']:.1f} "
+                      f"eta_ess_min={dd['eta_ess_min']:.1f}")
     if args.output:
         import pandas as pd
 

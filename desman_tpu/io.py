@@ -271,3 +271,32 @@ def read_fit_txt(path: str) -> dict:
 def ensure_dir(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def write_draws(path: str, tau_samples, gamma_samples, eta_samples,
+                burn: int, thin: int) -> None:
+    """Compressed posterior draws (desman --store_every N -> draws.npz).
+
+    tau draws are int8 [n_draws, V, G]; gamma [n_draws, S, G]; eta
+    [n_draws, 4, 4]. Draws are post-burn, every `thin`-th sweep (the
+    reference stores its posterior samples similarly — SURVEY.md §0.1
+    'store every sample (or thinned)')."""
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp,
+        tau=np.asarray(tau_samples, np.int8),
+        gamma=np.asarray(gamma_samples, np.float32),
+        eta=np.asarray(eta_samples, np.float32),
+        burn=np.asarray(burn, np.int64),
+        thin=np.asarray(thin, np.int64),
+    )
+    os.replace(tmp, path)
+
+
+def read_draws(path: str) -> dict:
+    """Load a draws.npz written by write_draws."""
+    z = np.load(path)
+    return {
+        "tau": z["tau"], "gamma": z["gamma"], "eta": z["eta"],
+        "burn": int(z["burn"]), "thin": int(z["thin"]),
+    }

@@ -72,6 +72,46 @@ def per_sample_loglik(
     return heinsum("vsb->s", n * safe_log(p))
 
 
+def log_likelihood_host_f64(
+    counts, tau_idx, gamma, eta, include_coeff: bool = True
+) -> float:
+    """Exact float64 log-likelihood on host numpy (same math as the device
+    f32 path, including the 1e-12 probability floor).
+
+    The deviances written to fit.txt are computed through this (and through
+    math.fsum over the f32 per-sweep trace for the posterior mean) so model
+    selection never rides the f32 tree-reduction error of a sum over V*S*4
+    terms (SURVEY.md §7.3 'f32 vs f64'; the measured drift margin is gated
+    in tests/test_likelihood.py::test_f32_deviance_drift_at_scale).
+    Cost: one O(V*S*16) numpy pass per finished run — not a hot path.
+    """
+    import numpy as np
+    from scipy.special import gammaln
+
+    n = np.asarray(counts, np.float64)
+    tau_idx = np.asarray(tau_idx)
+    gamma = np.asarray(gamma, np.float64)
+    eta = np.asarray(eta, np.float64)
+    onehot = np.eye(4, dtype=np.float64)[tau_idx]          # [V,G,4]
+    mix = np.einsum("vga,sg->vsa", onehot, gamma)
+    p = mix @ eta                                          # [V,S,4]
+    ll = float(np.sum(n * np.log(np.maximum(p, 1e-12))))
+    if include_coeff:
+        ll += total_coeff_host_f64(n)
+    return ll
+
+
+def total_coeff_host_f64(counts) -> float:
+    """Multinomial-coefficient term of logL in float64 on host."""
+    import numpy as np
+    from scipy.special import gammaln
+
+    n = np.asarray(counts, np.float64)
+    return float(
+        np.sum(gammaln(n.sum(axis=-1) + 1.0)) - np.sum(gammaln(n + 1.0))
+    )
+
+
 def snv_uncertainty(tau_mean: jax.Array, threshold: float = 0.9) -> jax.Array:
     """Fraction of (position, strain) posterior base calls below `threshold`.
 

@@ -77,8 +77,12 @@ def fit_grid(
     'multi-chain parallel'): seeds are vmapped; G values loop on host. Pass a
     (chain, data) Mesh to shard chains and positions across devices.
     """
+    import math
+
+    from .likelihood import total_coeff_host_f64
+
     n = jnp.asarray(counts, jnp.float32)
-    coeff = total_coeff(counts)
+    coeff = total_coeff_host_f64(counts)
     burn = iterations // 2
     eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
 
@@ -96,8 +100,15 @@ def fit_grid(
                                      eta_init=eta, **kw)
         else:
             res = run_chains(n, cfg, seeds, eta_init=eta, **kw)
+        trace = np.asarray(res.loglik_trace, np.float64)
         for i, seed in enumerate(seeds):
-            mean_dev = deviance_from_loglik(float(res.mean_loglik[i]), coeff)
+            # f64 compensated mean over the post-burn trace: the deviance
+            # deltas this grid discriminates must not ride f32 sum error
+            # (SURVEY.md §7.3; VERDICT r1 item 5)
+            post = trace[i, burn:]
+            mean_ll = (math.fsum(post.tolist()) / post.size if post.size
+                       else float(res.mean_loglik[i]))
+            mean_dev = deviance_from_loglik(mean_ll, coeff)
             unc = float(snv_uncertainty(res.tau_mean[i], unc_threshold))
             run_dir = None
             if out_stub is not None and data is not None:

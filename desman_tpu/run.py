@@ -50,6 +50,8 @@ class RunConfig:
     auto_burn: bool = False                 # plateau-detected burn-in length
     auto_tol: float = 1e-5                  # relative plateau tolerance
     auto_max_burn: int = 2000
+    eta_update: str = "rows"                # "rows" | "joint" (1 psum/sweep)
+    store_every: int = 0                    # >0: write every k-th post-burn draw
 
 
 def prepare_data(
@@ -67,6 +69,11 @@ def prepare_data(
 
 def sampler_config(rc: RunConfig) -> SamplerConfig:
     burn = int(rc.iterations * rc.burn_frac)
+    if rc.store_every and (rc.iterations - burn) % rc.store_every != 0:
+        raise ValueError(
+            f"store_every={rc.store_every} must divide the sampling sweeps "
+            f"({rc.iterations - burn} = iterations - burn)"
+        )
     return SamplerConfig(
         G=rc.G,
         burn=burn,
@@ -75,6 +82,9 @@ def sampler_config(rc: RunConfig) -> SamplerConfig:
         kappa_eta=rc.kappa_eta,
         fix_eta=(rc.eta_file is not None and not rc.sample_eta),
         fix_tau=rc.fix_tau,
+        eta_update=rc.eta_update,
+        store_samples=rc.store_every > 0,
+        store_thin=max(rc.store_every, 1),
     )
 
 
@@ -120,6 +130,11 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     t0 = time.time()
     if rc.auto_burn and rc.pt_replicas >= 2:
         raise ValueError("auto_burn is incompatible with pt")
+    if rc.store_every and (rc.pt_replicas >= 2 or rc.auto_burn
+                           or rc.checkpoint_path):
+        raise ValueError(
+            "store_every composes with plain/--chains/--mesh runs only"
+        )
     with device_trace(rc.profile_dir):
         if rc.auto_burn and rc.checkpoint_path:
             import jax.tree_util as jtu
@@ -185,6 +200,10 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     elapsed = time.time() - t0
 
     write_outputs(rc.out_dir, data, res, cfg, elapsed)
+    if res.tau_samples is not None:
+        io.write_draws(os.path.join(rc.out_dir, "draws.npz"),
+                       res.tau_samples, res.gamma_samples, res.eta_samples,
+                       burn=cfg.burn, thin=cfg.store_thin)
     return res
 
 
@@ -271,6 +290,11 @@ def run_multi(
     seeds = list(range(rc.seed, rc.seed + n_chains))
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
+    if rc.store_every and (rc.pt_replicas >= 2 or rc.auto_burn
+                           or rc.checkpoint_path):
+        raise ValueError(
+            "store_every composes with plain/--chains/--mesh runs only"
+        )
     t0 = time.time()
     if rc.auto_burn:
         from .converge import run_chains_auto
@@ -313,6 +337,11 @@ def run_multi(
     best = int(np.argmax(np.asarray(res.star_loglik)))
     best_res = jax.tree_util.tree_map(lambda x: x[best], res)
     write_outputs(rc.out_dir, data, best_res, cfg, elapsed)
+    if best_res.tau_samples is not None:
+        io.write_draws(os.path.join(rc.out_dir, "draws.npz"),
+                       best_res.tau_samples, best_res.gamma_samples,
+                       best_res.eta_samples, burn=cfg.burn,
+                       thin=cfg.store_thin)
 
     from .diagnostics import ess_bulk, replicate_agreement, split_rhat
 
@@ -336,11 +365,30 @@ def write_outputs(
     cfg: SamplerConfig,
     elapsed: Optional[float] = None,
 ) -> None:
-    """Write the DESMAN-compatible output file set (SURVEY.md §8)."""
+    """Write the DESMAN-compatible output file set (SURVEY.md §8).
+
+    Deviances are computed in float64 on host (star: exact re-evaluation of
+    the star state; mean: math.fsum over the post-burn f32 trace) so the
+    numbers model selection discriminates on never carry the f32 device
+    reduction error (SURVEY.md §7.3; VERDICT r1 item 5).
+    """
+    import math
+
+    from .likelihood import log_likelihood_host_f64, total_coeff_host_f64
+
     io.ensure_dir(out_dir)
-    coeff = total_coeff(data.counts)
-    mean_dev = deviance_from_loglik(float(res.mean_loglik), coeff)
-    star_dev = deviance_from_loglik(float(res.star_loglik), coeff)
+    coeff = total_coeff_host_f64(data.counts)
+    post = np.asarray(res.loglik_trace, np.float64)[cfg.burn:]
+    if post.size:
+        mean_ll = math.fsum(post.tolist()) / post.size
+    else:  # degenerate all-burn config: fall back to the device accumulator
+        mean_ll = float(res.mean_loglik)
+    mean_dev = deviance_from_loglik(mean_ll, coeff)
+    star_ll_f64 = log_likelihood_host_f64(
+        data.counts, np.asarray(res.tau_star), np.asarray(res.gamma_star),
+        np.asarray(res.eta_star), include_coeff=False,
+    )
+    star_dev = deviance_from_loglik(star_ll_f64, coeff)
 
     io.write_fit_txt(
         os.path.join(out_dir, "fit.txt"),

@@ -61,9 +61,11 @@ class SamplerConfig:
     eta_prior_diag: float = 10.0
     eta_prior_off: float = 1.0
     fix_eta: bool = False
+    eta_update: str = "rows"      # "rows" (4 per-row MH) | "joint" (1 blocked MH)
     fix_gamma: bool = False       # freeze abundances (known mixtures / tests)
     fix_tau: bool = False         # reference -f: freeze haplotypes, fit gamma/eta
-    store_samples: bool = False   # keep per-sweep (tau,gamma,eta) draws
+    store_samples: bool = False   # keep post-burn (tau,gamma,eta) draws
+    store_thin: int = 1           # keep every k-th post-burn draw (must divide samples)
     swap_moves: bool = True       # per-position strain-pair swap MH each sweep
     anneal_temp0: float = 3.0     # tempered tau updates early in burn-in
     anneal_frac: float = 0.5      # fraction of burn spent annealing T0 -> 1
@@ -113,10 +115,11 @@ class SamplerResult(NamedTuple):
     loglik_trace: jax.Array  # [total_sweeps]
     accept_gamma: jax.Array  # mean acceptance rate
     accept_eta: jax.Array
-    # optional per-sweep draws (store_samples=True), else None:
-    tau_samples: Optional[jax.Array] = None    # int8 [sweeps,V,G]
-    gamma_samples: Optional[jax.Array] = None  # [sweeps,S,G]
-    eta_samples: Optional[jax.Array] = None    # [sweeps,4,4]
+    # optional post-burn posterior draws (store_samples=True, thinned by
+    # store_thin — SURVEY.md §0.1 'store every sample (or thinned)'), else None:
+    tau_samples: Optional[jax.Array] = None    # int8 [samples/thin,V,G]
+    gamma_samples: Optional[jax.Array] = None  # [samples/thin,S,G]
+    eta_samples: Optional[jax.Array] = None    # [samples/thin,4,4]
     # replica exchange only (run_chain_pt): mean adjacent-swap acceptance
     pt_swap_accept: Optional[jax.Array] = None
 
@@ -240,6 +243,12 @@ def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None,
 
     beta < 1 tempers the likelihood term only (prior/proposal corrections
     untempered) — the replica-exchange target pi_beta = prior * L^beta.
+
+    Returns (gamma, mix, accept_rate, loglik): the per-sample old/new
+    likelihood terms the MH ratio needs already determine the post-update
+    total loglik (sum of the accepted branch per sample), so the sweep gets
+    it for free — one fewer full [V,S,4] pass, and under a position-sharded
+    mesh the old/new reductions ride ONE [2,S] psum instead of two.
     """
     if kappa is None:
         kappa = cfg.kappa_gamma
@@ -251,12 +260,11 @@ def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None,
     tau_oh = one_hot_tau(tau)                                         # [V,G,4]
     mix_prop = mixture(tau_oh, gamma_prop)                            # [V,S,4]
 
-    ll_old = heinsum(
-        "vsb->s", n * safe_log(heinsum("vsa,ab->vsb", mix, eta))
+    both = jnp.stack([mix, mix_prop])                                 # [2,V,S,4]
+    ll = heinsum(
+        "kvsb->ks", n[None] * safe_log(heinsum("kvsa,ab->kvsb", both, eta))
     )
-    ll_new = heinsum(
-        "vsb->s", n * safe_log(heinsum("vsa,ab->vsb", mix_prop, eta))
-    )
+    ll_old, ll_new = ll[0], ll[1]
     # symmetric Dirichlet(1) prior on gamma rows -> prior ratio = 0
     log_ratio = (
         beta * (ll_new - ll_old)
@@ -266,7 +274,8 @@ def gamma_step(cfg: SamplerConfig, n, tau, mix, gamma, eta, key, kappa=None,
     accept = safe_log(jax.random.uniform(k_u, (gamma.shape[0],))) < log_ratio
     gamma = jnp.where(accept[:, None], gamma_prop, gamma)
     mix = jnp.where(accept[None, :, None], mix_prop, mix)
-    return gamma, mix, jnp.mean(accept.astype(jnp.float32))
+    loglik = jnp.sum(jnp.where(accept, ll_new, ll_old))
+    return gamma, mix, jnp.mean(accept.astype(jnp.float32)), loglik
 
 
 def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None,
@@ -311,6 +320,42 @@ def eta_step(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None,
         0, NBASES, body, (eta, loglik, jnp.float32(0.0))
     )
     return eta, loglik, n_acc / NBASES
+
+
+def eta_step_joint(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None,
+                   beta=1.0):
+    """Blocked MH on the whole 4x4 error matrix: all four rows proposed at
+    once, one joint accept/reject.
+
+    Same stationary distribution as the per-row sweep (a valid MH kernel on
+    the full eta block), but ONE likelihood evaluation per sweep instead of
+    four — under a position-sharded mesh that is one scalar psum instead of
+    four, which dominates per-sweep latency once V/device is small
+    (docs/SCALING.md). The joint acceptance rate is lower at equal kappa;
+    the adaptive controller simply settles on a larger kappa (smaller
+    steps). Select with SamplerConfig.eta_update="joint".
+    """
+    if kappa is None:
+        kappa = cfg.kappa_eta
+    prior_alpha = (
+        jnp.full((NBASES, NBASES), cfg.eta_prior_off)
+        + jnp.eye(NBASES) * (cfg.eta_prior_diag - cfg.eta_prior_off)
+    )
+    k_prop, k_u = jax.random.split(key)
+    alpha_fwd = kappa * eta + cfg.proposal_floor                   # [4,4]
+    eta_prop = _sample_dirichlet(k_prop, alpha_fwd)
+    alpha_rev = kappa * eta_prop + cfg.proposal_floor
+    ll_new = _loglik(n, mix, eta_prop)
+    log_ratio = (
+        beta * (ll_new - loglik)
+        + jnp.sum((prior_alpha - 1.0) * (safe_log(eta_prop) - safe_log(eta)))
+        + jnp.sum(_dirichlet_logpdf(eta, alpha_rev))
+        - jnp.sum(_dirichlet_logpdf(eta_prop, alpha_fwd))
+    )
+    accept = safe_log(jax.random.uniform(k_u, ())) < log_ratio
+    eta = jnp.where(accept, eta_prop, eta)
+    loglik = jnp.where(accept, ll_new, loglik)
+    return eta, loglik, accept.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -363,16 +408,19 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
                 )
         if cfg.fix_gamma:
             gamma, acc_g = state.gamma, jnp.float32(0.0)
+            loglik = _loglik(n, mix, state.eta)
         else:
-            gamma, mix, acc_g = gamma_step(
+            # loglik comes out of the MH step's own per-sample terms — no
+            # separate full-likelihood pass (and no extra psum under a mesh)
+            gamma, mix, acc_g, loglik = gamma_step(
                 cfg, n, tau, mix, state.gamma, state.eta, k_gamma,
                 kappa=state.kappa_gamma, beta=beta,
             )
-        loglik = _loglik(n, mix, state.eta)
         if cfg.fix_eta:
             eta, acc_e = state.eta, jnp.float32(0.0)
         else:
-            eta, loglik, acc_e = eta_step(
+            eta_fn = eta_step_joint if cfg.eta_update == "joint" else eta_step
+            eta, loglik, acc_e = eta_fn(
                 cfg, n, mix, state.eta, loglik, k_eta, kappa=state.kappa_eta,
                 beta=beta,
             )
@@ -509,19 +557,37 @@ def run_chain(
     def step(carry, it):
         state, accum = carry
         state, accum, ll = sweep(n, state, accum, it)
-        if cfg.store_samples:
-            ys = (ll, state.tau.astype(jnp.int8), state.gamma, state.eta)
-        else:
-            ys = ll
-        return (state, accum), ys
+        return (state, accum), ll
 
-    (state, accum), ys = jax.lax.scan(
-        step, (state, accum), jnp.arange(cfg.total_sweeps)
-    )
     if cfg.store_samples:
-        trace, tau_s, gamma_s, eta_s = ys
+        # burn phase without draw storage, then sampling phase in chunks of
+        # store_thin sweeps keeping the last state of each chunk — identical
+        # trajectory (randomness folds the same absolute sweep indices),
+        # memory = samples/thin snapshots instead of burn+samples.
+        thin = max(int(cfg.store_thin), 1)
+        if cfg.samples % thin != 0:
+            raise ValueError(
+                f"store_thin={thin} must divide samples={cfg.samples}"
+            )
+        (state, accum), trace_burn = jax.lax.scan(
+            step, (state, accum), jnp.arange(cfg.burn)
+        )
+
+        def chunk(carry, its):
+            carry, lls = jax.lax.scan(step, carry, its)
+            st = carry[0]
+            return carry, (lls, st.tau.astype(jnp.int8), st.gamma, st.eta)
+
+        its = cfg.burn + jnp.arange(cfg.samples).reshape(-1, thin)
+        (state, accum), (lls, tau_s, gamma_s, eta_s) = jax.lax.scan(
+            chunk, (state, accum), its
+        )
+        trace = jnp.concatenate([trace_burn, lls.reshape(-1)])
     else:
-        trace, tau_s, gamma_s, eta_s = ys, None, None, None
+        (state, accum), trace = jax.lax.scan(
+            step, (state, accum), jnp.arange(cfg.total_sweeps)
+        )
+        tau_s = gamma_s = eta_s = None
 
     return _result_from_accum(
         accum, cfg, trace,

@@ -66,3 +66,47 @@ def test_snp_distance_perm_invariant_to_relabeling():
     tau_b = tau[:, perm].copy()
     tau_b[0, 0] = (tau_b[0, 0] + 1) % 4
     assert utils.snp_distance_perm(tau, tau_b) == 1
+
+
+def test_f32_deviance_drift_at_scale():
+    """VERDICT r1 item 5: at the north-star scale (V=1e5, S=96) the f32
+    device log-likelihood's reduction error must sit far (>=10x) below the
+    deviance deltas model selection discriminates; fit.txt itself is written
+    from the f64 host path (run.write_outputs), so this gates the margin of
+    the per-sweep trace that feeds the posterior-mean deviance."""
+    import numpy as np
+
+    from desman_tpu.likelihood import (
+        log_likelihood_host_f64, log_likelihood_tau_idx,
+    )
+
+    V, S, G = 100_000, 96, 8
+    rng = np.random.default_rng(0)
+    tau = rng.integers(0, 4, (V, G))
+    gamma = rng.dirichlet(np.ones(G), size=S).astype(np.float32)
+    eta = np.asarray(synth.make_eta(0.01), np.float32)
+    onehot = np.eye(4, dtype=np.float32)[tau]
+    p = np.einsum("vga,sg->vsa", onehot, gamma) @ eta
+    counts = rng.poisson(50.0 * p).astype(np.float32)
+
+    ll32 = float(log_likelihood_tau_idx(
+        jnp.asarray(counts), jnp.asarray(tau), jnp.asarray(gamma),
+        jnp.asarray(eta), include_coeff=False,
+    ))
+    ll64 = log_likelihood_host_f64(counts, tau, gamma, eta,
+                                   include_coeff=False)
+    drift = abs(ll32 - ll64)
+
+    # a realistic selection delta: the same data explained with two strains
+    # collapsed (the G vs G-1 comparison resolve_nhap makes)
+    gamma_merged = gamma.copy()
+    gamma_merged[:, 0] += gamma_merged[:, 1]
+    gamma_merged[:, 1] = 0.0
+    ll64_merged = log_likelihood_host_f64(counts, tau, gamma_merged, eta,
+                                          include_coeff=False)
+    delta = abs(ll64 - ll64_merged)
+
+    assert np.isfinite(ll32) and np.isfinite(ll64)
+    assert drift * 10.0 < delta, (drift, delta)
+    # and the absolute drift is small in relative terms
+    assert drift < 1e-5 * abs(ll64), (drift, ll64)

@@ -115,3 +115,46 @@ def test_ragged_zero_coverage_masking():
     dist = utils.snp_distance_perm(t.tau_idx, np.asarray(res.tau_star))
     assert dist <= 12, f"SNP distance {dist}"
     assert np.isfinite(np.asarray(res.gamma_mean)).all()
+
+
+def test_joint_eta_update_recovers_error_matrix():
+    """eta_update="joint" (one blocked MH on the whole error matrix — the
+    1-collective/sweep mesh mode) targets the same posterior as the per-row
+    sweep: the posterior mean eta still approaches the generating matrix."""
+    t = synth.generate(V=300, S=12, G=2, coverage=80.0, error_rate=0.02, seed=13)
+    cfg = SamplerConfig(G=2, burn=150, samples=150, nmf_iters=150,
+                        eta_update="joint")
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    res = run_chain(n, cfg, jax.random.PRNGKey(2))
+    err = np.abs(np.asarray(res.eta_mean) - t.eta).max()
+    assert err < 0.01, f"eta max error {err}"
+    assert 0.05 < float(res.accept_eta) <= 1.0, float(res.accept_eta)
+
+
+def test_store_samples_thinned(small_synth):
+    """store_samples + store_thin: post-burn draws only, every k-th sweep,
+    and storage must not perturb the trajectory (same absolute sweep
+    randomness; VERDICT r1 item 6)."""
+    t = small_synth
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=2, burn=10, samples=12, nmf_iters=30,
+                        store_samples=True, store_thin=3)
+    res = run_chain(n, cfg, jax.random.PRNGKey(0))
+    assert res.tau_samples.shape == (4, t.data.V, 2)
+    assert res.tau_samples.dtype == jnp.int8
+    assert res.gamma_samples.shape == (4, t.data.S, 2)
+    assert res.eta_samples.shape == (4, 4, 4)
+
+    ref = run_chain(n, SamplerConfig(G=2, burn=10, samples=12, nmf_iters=30),
+                    jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(res.loglik_trace),
+                                  np.asarray(ref.loglik_trace))
+    assert np.array_equal(np.asarray(res.tau_star), np.asarray(ref.tau_star))
+    # stored gamma draws live on the simplex
+    np.testing.assert_allclose(np.asarray(res.gamma_samples).sum(-1), 1.0,
+                               rtol=1e-5)
+
+    with pytest.raises(ValueError, match="store_thin"):
+        run_chain(n, SamplerConfig(G=2, burn=4, samples=10, nmf_iters=30,
+                                   store_samples=True, store_thin=4),
+                  jax.random.PRNGKey(0))

@@ -150,3 +150,45 @@ def test_sharded_checkpoint_resume(small_synth, tmp_path):
                                np.asarray(sd.loglik_trace), rtol=1e-4)
     agree = (np.asarray(got.tau_star) == np.asarray(sd.tau_star)).mean()
     assert agree > 0.99, agree
+
+
+def _sweep_all_reduce_count(cfg, mesh):
+    """Count all-reduce launches in the compiled HLO of ONE sweep with
+    position-sharded inputs (the per-sweep collective budget of
+    docs/SCALING.md)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from desman_tpu.parallel.sharded import _accum_shardings, _state_shardings
+    from desman_tpu.sampler import init_accum, init_state, make_sweep_fn
+
+    V, S = 64, 16
+    n = jnp.asarray(
+        np.random.default_rng(0).poisson(10.0, (V, S, 4)), jnp.float32
+    )
+    n = jax.device_put(n, NamedSharding(mesh, P("data", None, None)))
+    st = jax.jit(
+        lambda n, k: init_state(n, cfg, k),
+        out_shardings=_state_shardings(mesh),
+    )(n, jax.random.PRNGKey(0))
+    ac = jax.tree_util.tree_map(
+        jax.device_put, init_accum(V, S, cfg.G), _accum_shardings(mesh)
+    )
+    sweep = make_sweep_fn(cfg)
+    f = jax.jit(lambda n, st, ac, it: sweep(n, st, ac, it))
+    txt = f.lower(n, st, ac, jnp.int32(0)).compile().as_text()
+    return txt.count(" all-reduce(") + txt.count(" all-reduce-start(")
+
+
+def test_collectives_per_sweep_budget():
+    """VERDICT r1 item 9: the fused gamma old/new reduction plus the blocked
+    eta update bound the sweep at <=3 all-reduces; joint mode must never use
+    more collectives than per-row mode."""
+    mesh = make_mesh(n_chain=1, n_data=8)
+    rows = _sweep_all_reduce_count(
+        SamplerConfig(G=4, burn=4, samples=4, eta_update="rows"), mesh
+    )
+    joint = _sweep_all_reduce_count(
+        SamplerConfig(G=4, burn=4, samples=4, eta_update="joint"), mesh
+    )
+    assert joint <= 3, f"joint-eta sweep uses {joint} all-reduces"
+    assert joint <= rows, (joint, rows)
