@@ -253,19 +253,63 @@ def write_fit_txt(
         )
 
 
+# Adapter seam for the reference's fit.txt (VERDICT r1 item 3): our schema is
+# self-invented ([M] — reference mount empty, SURVEY.md §9.4). If the real
+# DESMAN writes different/renamed/headerless columns, fix it HERE in one
+# place: map each canonical name to the reference's column name (header
+# files) or column index (headerless files). Every consumer (resolvenhap,
+# diag, collate, pipeline) parses through read_fit_txt.
+FIT_COLUMN_ALIASES = {
+    "G": ["G", "H", "NHaplotypes", "nhap"],
+    "V": ["V", "N", "NPositions"],
+    "S": ["S", "NSamples"],
+    "mean_deviance": ["mean_deviance", "Dev", "Deviance", "MeanDeviance"],
+    "star_deviance": ["star_deviance", "StarDeviance", "DevStar"],
+    "star_loglik": ["star_loglik", "StarLogLik", "LP"],
+}
+# positional schema used when the first line is numeric (headerless file)
+FIT_HEADERLESS_COLUMNS = [
+    "G", "V", "S", "mean_deviance", "star_deviance", "star_loglik",
+]
+
+
+def _is_numeric_row(fields) -> bool:
+    try:
+        [float(x) for x in fields]
+        return len(fields) > 0
+    except ValueError:
+        return False
+
+
 def read_fit_txt(path: str) -> dict:
+    """Parse a fit.txt record; tolerant of header renames and headerless
+    files via FIT_COLUMN_ALIASES / FIT_HEADERLESS_COLUMNS (adapter seam).
+    Missing optional columns come back as NaN; G/mean_deviance are required
+    (model selection cannot proceed without them)."""
     with open(path) as f:
-        header = f.readline().strip().split(",")
-        values = f.readline().strip().split(",")
-    rec = dict(zip(header, values))
-    return {
-        "G": int(rec["G"]),
-        "V": int(rec["V"]),
-        "S": int(rec["S"]),
-        "mean_deviance": float(rec["mean_deviance"]),
-        "star_deviance": float(rec["star_deviance"]),
-        "star_loglik": float(rec["star_loglik"]),
-    }
+        first = f.readline().strip().split(",")
+        second = f.readline().strip().split(",")
+    if _is_numeric_row(first):  # headerless: positional schema
+        rec = dict(zip(FIT_HEADERLESS_COLUMNS, first))
+    else:
+        rec = dict(zip(first, second))
+    out: dict = {}
+    for canon, aliases in FIT_COLUMN_ALIASES.items():
+        val = next((rec[a] for a in aliases if a in rec), None)
+        if val is None:
+            if canon in ("G", "mean_deviance"):
+                raise ValueError(
+                    f"{path}: no column for {canon!r} (header {list(rec)}); "
+                    "extend desman_tpu.io.FIT_COLUMN_ALIASES"
+                )
+            out[canon] = float("nan")
+        else:
+            out[canon] = float(val)
+    out["G"] = int(out["G"])
+    for k in ("V", "S"):
+        if out[k] == out[k]:  # not NaN
+            out[k] = int(out[k])
+    return out
 
 
 def ensure_dir(path: str) -> str:

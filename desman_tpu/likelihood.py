@@ -86,7 +86,6 @@ def log_likelihood_host_f64(
     Cost: one O(V*S*16) numpy pass per finished run — not a hot path.
     """
     import numpy as np
-    from scipy.special import gammaln
 
     n = np.asarray(counts, np.float64)
     tau_idx = np.asarray(tau_idx)

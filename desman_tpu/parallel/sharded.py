@@ -100,8 +100,12 @@ def run_chains_sharded(
         )(keys)
 
     res = go(n_dev, keys_dev)
-    # only the position-axis fields carry padding
-    return res._replace(tau_mean=res.tau_mean[:, :V], tau_star=res.tau_star[:, :V])
+    # only the position-axis fields carry padding (incl. stored draws:
+    # tau_samples is [chain, draws, V_padded, G] when store_samples is on)
+    res = res._replace(tau_mean=res.tau_mean[:, :V], tau_star=res.tau_star[:, :V])
+    if res.tau_samples is not None:
+        res = res._replace(tau_samples=res.tau_samples[:, :, :V])
+    return res
 
 
 def _state_shardings(mesh: Mesh):

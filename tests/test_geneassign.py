@@ -57,6 +57,14 @@ def test_gibbs_mode_agrees_with_enumeration():
                          key=jax.random.PRNGKey(0))
     agree = (np.asarray(enum.eta_star) == np.asarray(gibbs.eta_star)).mean()
     assert agree > 0.95, f"gibbs/enum agreement {agree}"
+    # Gibbs-mode confidence is a pseudo-posterior, not NaN (VERDICT r1 weak
+    # #4); it must be a probability and track the exact confidence where the
+    # MAP states agree
+    gc = np.asarray(gibbs.confidence)
+    ec = np.asarray(enum.confidence)
+    assert np.isfinite(gc).all() and ((gc >= 0) & (gc <= 1 + 1e-6)).all()
+    same = (np.asarray(enum.eta_star) == np.asarray(gibbs.eta_star)).all(axis=1)
+    assert np.abs(gc[same] - ec[same]).mean() < 0.15
 
 
 def test_assign_gene_tau():

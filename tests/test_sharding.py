@@ -191,4 +191,5 @@ def test_collectives_per_sweep_budget():
         SamplerConfig(G=4, burn=4, samples=4, eta_update="joint"), mesh
     )
     assert joint <= 3, f"joint-eta sweep uses {joint} all-reduces"
+    assert rows <= 5, f"rows-eta sweep uses {rows} all-reduces"
     assert joint <= rows, (joint, rows)
