@@ -150,19 +150,23 @@ def run_chain_sharded_checkpointed(
     mesh: Optional[Mesh] = None,
     eta_init=None,
     tau_sweep=tau_sweep_xla,
-) -> SamplerResult:
+    stop_after: Optional[int] = None,
+) -> Optional[SamplerResult]:
     """Position-sharded single chain with periodic checkpoints/exact resume.
 
     Long big-V runs (the regime sharding exists for — docs/SCALING.md) get
     the same crash-resume guarantee as the single-device path: identical
-    results to an uninterrupted sharded run. Snapshots gather to host npz
-    (single-controller; per-process sharded snapshots are a multi-host
-    follow-up) and are re-placed with the mesh shardings on resume.
-    """
-    import os as _os
+    results to an uninterrupted sharded run. ``checkpoint_path`` is a
+    DIRECTORY of per-process shard files + manifest (multi-host-safe: no
+    host ever gathers the full [V,...] state — see parallel/shard_ckpt.py);
+    resume works across different mesh shapes and process counts.
 
-    from ..checkpoint import load, run_segment, save
+    ``stop_after``: simulate a crash for tests — return None once at least
+    this many sweeps are checkpointed, leaving the directory resumable.
+    """
+    from ..checkpoint import run_segment
     from ..sampler import init_accum, init_state
+    from .shard_ckpt import latest_step, load_sharded, save_sharded
 
     mesh = mesh or make_mesh()
     n_data = mesh.shape["data"]
@@ -172,10 +176,9 @@ def run_chain_sharded_checkpointed(
 
     st_sh = _state_shardings(mesh)
     ac_sh = _accum_shardings(mesh)
-    if _os.path.exists(checkpoint_path):
-        state, accum, it, trace_done = load(checkpoint_path)
-        state = jax.tree_util.tree_map(jax.device_put, state, st_sh)
-        accum = jax.tree_util.tree_map(jax.device_put, accum, ac_sh)
+    if latest_step(checkpoint_path) is not None:
+        state, accum, it, trace_done = load_sharded(
+            checkpoint_path, st_sh, ac_sh)
         trace_parts = [trace_done[:it]]
     else:
         state = jax.jit(
@@ -190,13 +193,16 @@ def run_chain_sharded_checkpointed(
         trace_parts = []
 
     while it < cfg.total_sweeps:
+        if stop_after is not None and it >= stop_after:
+            return None  # simulated crash; directory stays resumable
         seg = min(checkpoint_every, cfg.total_sweeps - it)
         state, accum, trace = run_segment(
             n_dev, cfg, state, accum, it, seg, tau_sweep=tau_sweep,
         )
         it += seg
         trace_parts.append(np.asarray(trace))
-        save(checkpoint_path, state, accum, it, np.concatenate(trace_parts))
+        save_sharded(checkpoint_path, state, accum, it,
+                     np.concatenate(trace_parts))
 
     from ..sampler import _result_from_accum
 

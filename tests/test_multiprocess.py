@@ -90,3 +90,47 @@ def test_multiprocess_chains_matches_single_process(
         nproc, local, expected, tmp_path):
     out = _spawn_workers(nproc, local, ["--mode", "chains"], tmp_path)
     _check(out, expected)
+
+
+def test_multiprocess_sharded_checkpoint_crash_resume(tmp_path):
+    """VERDICT r1 item 2, across REAL process boundaries: 2 jax processes
+    write per-process shard files (each holding only its addressable
+    blocks), 'crash' after one segment, relaunch, and the resumed run must
+    match an uninterrupted in-process sharded run with the same segment
+    schedule (checkpoint_every=7, hardcoded in mp_worker ckpt mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = tmp_path / "mp_ckpt"
+    base = ["--mode", "ckpt", "--n_chain", "1", "--ckpt_dir", str(ckpt)]
+    # launch 1: simulated crash after the first 7-sweep segment
+    _spawn_workers(2, 4, base + ["--stop_after", "7"], tmp_path)
+    manifest = ckpt / "manifest.json"
+    assert manifest.is_file(), "crash launch must leave a committed step"
+    shard_files = sorted(p.name for p in ckpt.glob("p*_it7.npz"))
+    assert shard_files == ["p0_it7.npz", "p1_it7.npz"], shard_files
+    # no process wrote the other's rows: each file holds only its half of V
+    z0 = np.load(ckpt / "p0_it7.npz")
+    tau_keys = [k for k in z0.files if k.startswith("state_tau@")]
+    assert sum(z0[k].shape[0] for k in tau_keys) == 32  # V=64 over 2 procs
+
+    # launch 2: resume to completion
+    out = _spawn_workers(2, 4, base, tmp_path)
+
+    # uninterrupted in-process reference with the same segmentation
+    from desman_tpu.parallel import make_mesh, run_chain_sharded_checkpointed
+
+    truth = synth.generate(V=64, S=6, G=3, coverage=50.0, seed=7)
+    cfg = SamplerConfig(G=3, burn=20, samples=20, nmf_iters=50)
+    ref = run_chain_sharded_checkpointed(
+        truth.data.counts, cfg, jax.random.PRNGKey(0),
+        str(tmp_path / "ref_ckpt"), checkpoint_every=7,
+        mesh=make_mesh(n_chain=1, n_data=8),
+    )
+    got = np.load(out)
+    np.testing.assert_array_equal(got["tau_star"], np.asarray(ref.tau_star))
+    for k in ("tau_mean", "gamma_mean", "gamma_star", "eta_mean",
+              "star_loglik", "loglik_trace"):
+        np.testing.assert_allclose(
+            got[k], np.asarray(getattr(ref, k)), rtol=2e-5, atol=1e-6,
+            err_msg=k)

@@ -152,6 +152,49 @@ def test_sharded_checkpoint_resume(small_synth, tmp_path):
     assert agree > 0.99, agree
 
 
+def test_sharded_checkpoint_resume_across_mesh_shapes(small_synth, tmp_path):
+    """VERDICT r1 item 2: a checkpoint written on one mesh shape resumes on
+    another. Per-process shard files are keyed by global row offset, and
+    load_sharded rebuilds into the NEW mesh's shardings, so the layouts are
+    independent. Different data-axis sizes compile different psum reduction
+    orders -> last-ulp trace differences (cross-program float noise, same
+    caveat as test_sharded_checkpoint_resume), so cross-mesh comparisons are
+    allclose + tau agreement; the SAME-mesh resume above stays bitwise."""
+    from desman_tpu.parallel import run_chain_sharded_checkpointed
+
+    t = small_synth
+    key = jax.random.PRNGKey(13)
+    mesh8 = make_mesh(n_chain=1, n_data=8)
+    mesh4 = make_mesh(n_chain=1, n_data=4, devices=jax.devices()[:4])
+    mesh24 = make_mesh(n_chain=2, n_data=4)
+
+    full_cfg = SamplerConfig(G=2, burn=6, samples=6, nmf_iters=30)
+    # crash on the 8-way mesh after one 7-sweep segment...
+    ckpt = str(tmp_path / "cross_mesh_ckpt")
+    out = run_chain_sharded_checkpointed(
+        t.data.counts, full_cfg, key, ckpt, checkpoint_every=7, mesh=mesh8,
+        stop_after=7,
+    )
+    assert out is None  # simulated crash
+    # ...resume on a 4-way mesh (fewer devices, e.g. after losing a host)
+    got4 = run_chain_sharded_checkpointed(
+        t.data.counts, full_cfg, key, ckpt, checkpoint_every=7, mesh=mesh4)
+    ref = run_chain_sharded_checkpointed(
+        t.data.counts, full_cfg, key, str(tmp_path / "ref_ckpt"),
+        checkpoint_every=7, mesh=mesh8,
+    )
+    agree = (np.asarray(got4.tau_star) == np.asarray(ref.tau_star)).mean()
+    assert agree > 0.99, agree
+    np.testing.assert_allclose(np.asarray(got4.loglik_trace),
+                               np.asarray(ref.loglik_trace), rtol=1e-4)
+    # and onto a (chain, data) mesh that REPLICATES the chain axis; got4
+    # completed the run, so this exercises pure load-at-completion
+    got24 = run_chain_sharded_checkpointed(
+        t.data.counts, full_cfg, key, ckpt, checkpoint_every=7, mesh=mesh24)
+    np.testing.assert_array_equal(np.asarray(got24.tau_star),
+                                  np.asarray(got4.tau_star))
+
+
 def _sweep_all_reduce_count(cfg, mesh):
     """Count all-reduce launches in the compiled HLO of ONE sweep with
     position-sharded inputs (the per-sweep collective budget of
