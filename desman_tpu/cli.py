@@ -145,9 +145,10 @@ def _desman(argv) -> int:
         print("desman: --mesh --checkpoint --chains is not yet supported",
               file=sys.stderr)
         return 2
-    if args.store_every and (args.pt >= 2 or args.auto_burn or args.checkpoint):
-        print("desman: --store_every composes with plain/--chains/--mesh "
-              "runs only (not --pt/--checkpoint/--auto_burn)",
+    if args.store_every and (args.auto_burn or args.checkpoint
+                             or (args.pt >= 2 and args.mesh)):
+        print("desman: --store_every composes with plain/--chains/--pt/"
+              "--mesh runs (not --checkpoint/--auto_burn/--pt --mesh)",
               file=sys.stderr)
         return 2
     from .ops import resolve_tau_sweep

@@ -116,7 +116,7 @@ def fit_grid(
 
                 run_dir = f"{out_stub}_{G}_{seed}"
                 chain = jax.tree_util.tree_map(lambda x: x[i], res)
-                write_outputs(run_dir, data, chain, cfg)
+                write_outputs(run_dir, data, chain, cfg, seed=int(seed))
             records.append(
                 RunRecord(G=G, seed=int(seed), mean_deviance=mean_dev,
                           uncertainty=unc, run_dir=run_dir)
@@ -126,17 +126,28 @@ def fit_grid(
 
 def scan_run_dirs(run_dirs: Sequence[str], unc_threshold: float = 0.9) -> List[RunRecord]:
     """Rebuild RunRecords from on-disk output dirs (reference resolvenhap's
-    glob-and-parse path, SURVEY.md §3.4). Seed is parsed from the trailing
-    ``_<G>_<seed>`` of the dir name when present."""
+    glob-and-parse path, SURVEY.md §3.4). Seed comes from the run's
+    metrics.json when present (authoritative — VERDICT r1 weak #9: name
+    parsing can misattribute); falls back to the trailing ``_<G>_<seed>``
+    of the dir name, then 0. Selection itself uses deviance, not seed."""
     records = []
     for d in run_dirs:
         fit = io.read_fit_txt(os.path.join(d, "fit.txt"))
         tau_mean = io.read_tau_mean_csv(os.path.join(d, "Tau_mean.csv"))
         unc = float(snv_uncertainty(jnp.asarray(tau_mean, jnp.float32), unc_threshold))
-        parts = os.path.basename(os.path.normpath(d)).split("_")
-        seed = int(parts[-1]) if parts[-1].isdigit() else 0
+        seed = None
+        mpath = os.path.join(d, "metrics.json")
+        if os.path.isfile(mpath):
+            import json
+
+            with open(mpath) as f:
+                seed = json.load(f).get("seed")
+        if seed is None:
+            parts = os.path.basename(os.path.normpath(d)).split("_")
+            seed = int(parts[-1]) if parts[-1].isdigit() else 0
         records.append(
-            RunRecord(G=fit["G"], seed=seed, mean_deviance=fit["mean_deviance"],
+            RunRecord(G=fit["G"], seed=int(seed),
+                      mean_deviance=fit["mean_deviance"],
                       uncertainty=unc, run_dir=d)
         )
     return records

@@ -241,4 +241,7 @@ def run_chain_pt_sharded(
         eta_init=eta, tau_sweep=tau_sweep,
         replica_sharding=NamedSharding(mesh, P(CHAIN_AXIS, None)),
     )
-    return res._replace(tau_mean=res.tau_mean[:V], tau_star=res.tau_star[:V])
+    res = res._replace(tau_mean=res.tau_mean[:V], tau_star=res.tau_star[:V])
+    if res.tau_samples is not None:  # stored draws carry the padding too
+        res = res._replace(tau_samples=res.tau_samples[:, :V])
+    return res

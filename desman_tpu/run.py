@@ -130,10 +130,9 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     t0 = time.time()
     if rc.auto_burn and rc.pt_replicas >= 2:
         raise ValueError("auto_burn is incompatible with pt")
-    if rc.store_every and (rc.pt_replicas >= 2 or rc.auto_burn
-                           or rc.checkpoint_path):
+    if rc.store_every and (rc.auto_burn or rc.checkpoint_path):
         raise ValueError(
-            "store_every composes with plain/--chains/--mesh runs only"
+            "store_every composes with plain/--chains/--pt/--mesh runs only"
         )
     with device_trace(rc.profile_dir):
         if rc.auto_burn and rc.checkpoint_path:
@@ -199,7 +198,7 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         jax.block_until_ready(res.loglik_trace)
     elapsed = time.time() - t0
 
-    write_outputs(rc.out_dir, data, res, cfg, elapsed)
+    write_outputs(rc.out_dir, data, res, cfg, elapsed, seed=rc.seed)
     if res.tau_samples is not None:
         io.write_draws(os.path.join(rc.out_dir, "draws.npz"),
                        res.tau_samples, res.gamma_samples, res.eta_samples,
@@ -229,7 +228,8 @@ def run_sharded_checkpointed(
         tau_sweep=tau_sweep or tau_sweep_xla,
     )
     jax.block_until_ready(res.star_loglik)
-    write_outputs(rc.out_dir, data, res, cfg, time.time() - t0)
+    write_outputs(rc.out_dir, data, res, cfg, time.time() - t0,
+                  seed=rc.seed)
     return res
 
 
@@ -255,7 +255,8 @@ def run_pt_sharded(
         eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
     )
     jax.block_until_ready(res.star_loglik)
-    write_outputs(rc.out_dir, data, res, cfg, time.time() - t0)
+    write_outputs(rc.out_dir, data, res, cfg, time.time() - t0,
+                  seed=rc.seed)
     return res
 
 
@@ -290,10 +291,9 @@ def run_multi(
     seeds = list(range(rc.seed, rc.seed + n_chains))
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
-    if rc.store_every and (rc.pt_replicas >= 2 or rc.auto_burn
-                           or rc.checkpoint_path):
+    if rc.store_every and (rc.auto_burn or rc.checkpoint_path):
         raise ValueError(
-            "store_every composes with plain/--chains/--mesh runs only"
+            "store_every composes with plain/--chains/--pt/--mesh runs only"
         )
     t0 = time.time()
     if rc.auto_burn:
@@ -336,7 +336,8 @@ def run_multi(
 
     best = int(np.argmax(np.asarray(res.star_loglik)))
     best_res = jax.tree_util.tree_map(lambda x: x[best], res)
-    write_outputs(rc.out_dir, data, best_res, cfg, elapsed)
+    write_outputs(rc.out_dir, data, best_res, cfg, elapsed,
+                  seed=seeds[best])
     if best_res.tau_samples is not None:
         io.write_draws(os.path.join(rc.out_dir, "draws.npz"),
                        best_res.tau_samples, best_res.gamma_samples,
@@ -364,6 +365,7 @@ def write_outputs(
     res: SamplerResult,
     cfg: SamplerConfig,
     elapsed: Optional[float] = None,
+    seed: Optional[int] = None,
 ) -> None:
     """Write the DESMAN-compatible output file set (SURVEY.md §8).
 
@@ -415,6 +417,7 @@ def write_outputs(
     # structured per-run metrics (rebuild's observability upgrade, SURVEY.md §5)
     metrics = {
         "G": cfg.G, "V": data.V, "S": data.S,
+        **({"seed": int(seed)} if seed is not None else {}),
         "sweeps": cfg.total_sweeps,
         "mean_deviance": mean_dev,
         "star_deviance": star_dev,

@@ -747,8 +747,6 @@ def run_chain_pt(
     Replicas are vmapped — on a (chain, data) mesh they shard like chains.
     Cost: R x one chain; exchange overhead is R scalars per sweep.
     """
-    if cfg.store_samples:
-        raise ValueError("store_samples is not supported with run_chain_pt")
     n = n.astype(jnp.float32)
     R = int(n_replicas)
     if R < 2:
@@ -759,14 +757,45 @@ def run_chain_pt(
         gamma_init=gamma_init, replica_sharding=replica_sharding,
     )
     step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep)
-    (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
-        step, (states, accums, rung), jnp.arange(cfg.total_sweeps)
-    )
+    if cfg.store_samples:
+        # store the COLD chain's post-burn draws (thinned), mirroring
+        # run_chain's chunked storage: the replica holding rung 0 after the
+        # sweep's exchange is the cold-target sample (VERDICT r1 item 6 —
+        # --store_every now composes with --pt)
+        thin = max(int(cfg.store_thin), 1)
+        if cfg.samples % thin != 0:
+            raise ValueError(
+                f"store_thin={thin} must divide samples={cfg.samples}"
+            )
+        carry = (states, accums, rung)
+        carry, ys_burn = jax.lax.scan(step, carry, jnp.arange(cfg.burn))
+
+        def chunk(carry, its):
+            carry, ys = jax.lax.scan(step, carry, its)
+            st, _, rg = carry
+            cold = jnp.argmin(rg)  # replica currently holding rung 0
+            return carry, (ys, st.tau[cold].astype(jnp.int8),
+                           st.gamma[cold], st.eta[cold])
+
+        its = cfg.burn + jnp.arange(cfg.samples).reshape(-1, thin)
+        carry, (ys, tau_s, gamma_s, eta_s) = jax.lax.scan(chunk, carry, its)
+        (states, accums, rung) = carry
+        trace = jnp.concatenate([ys_burn[0], ys[0].reshape(-1)])
+        n_accs = jnp.concatenate([ys_burn[1], ys[1].reshape(-1)])
+        n_heads = jnp.concatenate([ys_burn[2], ys[2].reshape(-1)])
+    else:
+        (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
+            step, (states, accums, rung), jnp.arange(cfg.total_sweeps)
+        )
+        tau_s = gamma_s = eta_s = None
     accum = pt_merge_accums(accums)
     # per-proposal rate: sweeps whose parity yields no eligible pair (R=2,
     # odd sweeps) contribute no proposals, not zero-acceptance ones
     swap_rate = jnp.sum(n_accs) / jnp.maximum(jnp.sum(n_heads), 1.0)
-    return _result_from_accum(accum, cfg, trace, pt_swap_accept=swap_rate)
+    return _result_from_accum(
+        accum, cfg, trace, pt_swap_accept=swap_rate,
+        tau_samples=tau_s, gamma_samples=gamma_s, eta_samples=eta_s,
+    )
 
 
 def run_chains(

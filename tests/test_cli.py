@@ -207,6 +207,16 @@ def test_desman_cli_store_every_and_diag(small_synth, tmp_path):
     assert draws["thin"] == 2 and draws["burn"] == 10
     assert main(["diag", out]) == 0
 
-    # capability matrix: rejected with --pt, and K must divide samples
+    # --store_every now composes with --pt: cold-chain draws (r3)
+    out_pt = str(tmp_path / "out_pt")
+    rc = main(["desman", counts, "-g", "2", "-o", out_pt, "-i", "20",
+               "--store_every", "2", "--pt", "2"])
+    assert rc == 0
+    draws = io.read_draws(os.path.join(out_pt, "draws.npz"))
+    assert draws["tau"].shape == (5, t.data.V, 2)
+    assert np.isfinite(draws["gamma"]).all()
+    np.testing.assert_allclose(draws["gamma"].sum(-1), 1.0, rtol=1e-5)
+
+    # still rejected where unsupported
     assert main(["desman", counts, "-g", "2", "-o", out, "-i", "20",
-                 "--store_every", "2", "--pt", "2"]) == 2
+                 "--store_every", "2", "--auto_burn"]) == 2

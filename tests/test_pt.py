@@ -104,3 +104,26 @@ def test_pt_crosses_modes_plain_gibbs_cannot():
     assert d_pt <= 2, f"PT star SNP distance {d_pt}/{V * G} (plain: {d_plain})"
     assert d_plain > d_pt, (d_plain, d_pt)
     assert float(pt.star_loglik) > float(plain.star_loglik) + 5.0
+
+
+def test_pt_store_samples_cold_chain(small_synth):
+    """PT draw storage (r3): stored draws are the COLD chain's post-burn
+    states, thinned, and storage must not perturb the trajectory."""
+    t = small_synth
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    key = jax.random.PRNGKey(4)
+    cfg_s = SamplerConfig(G=2, burn=10, samples=12, nmf_iters=30,
+                          store_samples=True, store_thin=3)
+    res = run_chain_pt(n, cfg_s, key, n_replicas=3)
+    assert res.tau_samples.shape == (4, t.data.V, 2)
+    assert res.tau_samples.dtype == jnp.int8
+    assert res.gamma_samples.shape == (4, t.data.S, 2)
+    np.testing.assert_allclose(np.asarray(res.gamma_samples).sum(-1), 1.0,
+                               rtol=1e-5)
+
+    ref = run_chain_pt(n, SamplerConfig(G=2, burn=10, samples=12,
+                                        nmf_iters=30), key, n_replicas=3)
+    np.testing.assert_array_equal(np.asarray(res.loglik_trace),
+                                  np.asarray(ref.loglik_trace))
+    np.testing.assert_array_equal(np.asarray(res.tau_star),
+                                  np.asarray(ref.tau_star))
