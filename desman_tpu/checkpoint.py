@@ -94,6 +94,103 @@ def run_segment(
     return state, accum, trace
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "tau_sweep"))
+def run_segment_store(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    state: SamplerState,
+    accum: SamplerAccum,
+    start_it: int,
+    n_sweeps: int,
+    tau_sweep=tau_sweep_xla,
+    burn=None,
+):
+    """run_segment that also emits every sweep's (tau int8, gamma, eta).
+
+    The per-sweep draw stream lets segmented runs reproduce run_chain's
+    thinned posterior-draw storage exactly: the host keeps only the sweeps
+    ``stored_slots`` selects (the same absolute-sweep grid run_chain's
+    chunked scan snapshots), so a checkpointed --store_every run returns
+    bitwise the draws of an uninterrupted one."""
+    sweep = make_sweep_fn(cfg, tau_sweep)
+
+    def step(carry, it):
+        state, accum = carry
+        state, accum, ll = sweep(n, state, accum, it, burn=burn)
+        return (state, accum), (ll, state.tau.astype(jnp.int8),
+                                state.gamma, state.eta)
+
+    (state, accum), (trace, tau_s, gamma_s, eta_s) = jax.lax.scan(
+        step, (state, accum), start_it + jnp.arange(n_sweeps)
+    )
+    return state, accum, trace, tau_s, gamma_s, eta_s
+
+
+def stored_slots(start_it: int, n_sweeps: int, burn: int, thin: int):
+    """Local indices of draws a segment [start_it, start_it+n_sweeps) keeps.
+
+    run_chain's store path snapshots the state after each chunk of ``thin``
+    post-burn sweeps, i.e. at absolute sweep a with a >= burn and
+    (a - burn + 1) % thin == 0 — this reproduces that grid segment-locally.
+    """
+    thin = max(int(thin), 1)
+    return [
+        j for j in range(n_sweeps)
+        if start_it + j >= burn and (start_it + j - burn + 1) % thin == 0
+    ]
+
+
+class _DrawBuf:
+    """Host-side accumulator for thinned (tau, gamma, eta) draws across
+    segments, persisted through the checkpoint ``extras`` channel."""
+
+    KEYS = ("draw_tau", "draw_gamma", "draw_eta")
+
+    def __init__(self, extras: Optional[dict] = None):
+        ex = extras or {}
+        self.tau = [np.asarray(ex["draw_tau"])] if "draw_tau" in ex else []
+        self.gamma = [np.asarray(ex["draw_gamma"])] if "draw_gamma" in ex else []
+        self.eta = [np.asarray(ex["draw_eta"])] if "draw_eta" in ex else []
+
+    def append(self, slots, tau_s, gamma_s, eta_s, axis: int = 0):
+        """Keep the ``slots`` entries of a segment's per-sweep draw stream.
+
+        ``axis``: the sweep axis (0 for single-chain streams, 1 under a
+        leading chain axis)."""
+        if not slots:
+            return
+        idx = np.asarray(slots)
+        self.tau.append(np.take(np.asarray(tau_s), idx, axis=axis))
+        self.gamma.append(np.take(np.asarray(gamma_s), idx, axis=axis))
+        self.eta.append(np.take(np.asarray(eta_s), idx, axis=axis))
+
+    def truncate(self, n_draws: int, axis: int = 0) -> None:
+        """Drop draws beyond the first n_draws along the sweep axis (resume
+        hygiene when the draw file committed ahead of the state snapshot)."""
+        ex = self.extras(axis=axis)
+        if not ex:
+            return
+        sl = (slice(None),) * axis + (slice(0, n_draws),)
+        self.tau = [ex["draw_tau"][sl]]
+        self.gamma = [ex["draw_gamma"][sl]]
+        self.eta = [ex["draw_eta"][sl]]
+
+    def extras(self, axis: int = 0) -> dict:
+        if not self.tau:
+            return {}
+        return {"draw_tau": np.concatenate(self.tau, axis=axis),
+                "draw_gamma": np.concatenate(self.gamma, axis=axis),
+                "draw_eta": np.concatenate(self.eta, axis=axis)}
+
+    def result_fields(self, axis: int = 0) -> dict:
+        ex = self.extras(axis=axis)
+        if not ex:
+            return {}
+        return {"tau_samples": jnp.asarray(ex["draw_tau"]),
+                "gamma_samples": jnp.asarray(ex["draw_gamma"]),
+                "eta_samples": jnp.asarray(ex["draw_eta"])}
+
+
 def run_chain_checkpointed(
     n: jax.Array,
     cfg: SamplerConfig,
@@ -108,7 +205,9 @@ def run_chain_checkpointed(
 
     If checkpoint_path exists the run resumes from it; otherwise it starts
     fresh. The final result is identical to sampler.run_chain with the same
-    (n, cfg, key) regardless of how many times the run was interrupted.
+    (n, cfg, key) regardless of how many times the run was interrupted —
+    including the thinned posterior draws when cfg.store_samples is on
+    (draws accumulated so far ride the checkpoint's extras channel).
     """
     n = n.astype(jnp.float32)
     V, S, _ = n.shape
@@ -116,23 +215,33 @@ def run_chain_checkpointed(
     if os.path.exists(checkpoint_path):
         state, accum, it, trace_done = load(checkpoint_path)
         trace_parts = [trace_done[:it]]
+        draws = _DrawBuf(load_extras(checkpoint_path))
     else:
         state = init_state(n, cfg, key, eta_init, tau_init)
         accum = init_accum(V, S, cfg.G)
         it = 0
         trace_parts = []
+        draws = _DrawBuf()
 
     while it < cfg.total_sweeps:
         seg = min(checkpoint_every, cfg.total_sweeps - it)
-        state, accum, trace = run_segment(
-            n, cfg, state, accum, it, seg, tau_sweep=tau_sweep
-        )
+        if cfg.store_samples:
+            state, accum, trace, tau_s, gamma_s, eta_s = run_segment_store(
+                n, cfg, state, accum, it, seg, tau_sweep=tau_sweep
+            )
+            draws.append(stored_slots(it, seg, cfg.burn, cfg.store_thin),
+                         tau_s, gamma_s, eta_s)
+        else:
+            state, accum, trace = run_segment(
+                n, cfg, state, accum, it, seg, tau_sweep=tau_sweep
+            )
         it += seg
         trace_parts.append(np.asarray(trace))
-        save(checkpoint_path, state, accum, it, np.concatenate(trace_parts))
+        save(checkpoint_path, state, accum, it, np.concatenate(trace_parts),
+             extras=draws.extras())
 
     trace = jnp.asarray(np.concatenate(trace_parts))
-    return _result_from_accum(accum, cfg, trace)
+    return _result_from_accum(accum, cfg, trace, **draws.result_fields())
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_sweeps", "tau_sweep"))
@@ -153,6 +262,25 @@ def run_segment_chains(
     'chain' and positions over 'data' exactly as run_chains_sharded —
     shardings propagate from the inputs."""
     f = lambda st, ac: run_segment(
+        n, cfg, st, ac, start_it, n_sweeps, tau_sweep=tau_sweep, burn=burn
+    )
+    return jax.vmap(f)(states, accums)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "tau_sweep"))
+def run_segment_chains_store(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    states: SamplerState,
+    accums: SamplerAccum,
+    start_it: int,
+    n_sweeps: int,
+    tau_sweep=tau_sweep_xla,
+    burn=None,
+):
+    """run_segment_store vmapped over a leading chain axis: the draw stream
+    comes back as [C, n_sweeps, ...]."""
+    f = lambda st, ac: run_segment_store(
         n, cfg, st, ac, start_it, n_sweeps, tau_sweep=tau_sweep, burn=burn
     )
     return jax.vmap(f)(states, accums)
@@ -189,32 +317,45 @@ def run_chains_checkpointed(
     keys: [C,2] stacked PRNG keys. One npz holds every chain's state with a
     leading chain axis; the final result is identical to run_chains with the
     same seeds regardless of interruptions (VERDICT r1 item 4: the
-    --checkpoint x --chains cell of the CLI capability matrix).
+    --checkpoint x --chains cell of the CLI capability matrix). With
+    cfg.store_samples the per-chain thinned draws ([C, k, ...]) survive
+    interruption too, via the extras channel.
     """
     n = n.astype(jnp.float32)
 
     if os.path.exists(checkpoint_path):
         states, accums, it, trace_done = load(checkpoint_path)
         trace_parts = [trace_done[:, :it]]
+        draws = _DrawBuf(load_extras(checkpoint_path))
     else:
         states, accums = init_chains(n, cfg, keys, eta_init, tau_init)
         it = 0
         trace_parts = []
+        draws = _DrawBuf()
 
     while it < cfg.total_sweeps:
         seg = min(checkpoint_every, cfg.total_sweeps - it)
-        states, accums, trace = run_segment_chains(
-            n, cfg, states, accums, it, seg, tau_sweep=tau_sweep
-        )
+        if cfg.store_samples:
+            states, accums, trace, tau_s, gamma_s, eta_s = (
+                run_segment_chains_store(
+                    n, cfg, states, accums, it, seg, tau_sweep=tau_sweep
+                ))
+            draws.append(stored_slots(it, seg, cfg.burn, cfg.store_thin),
+                         tau_s, gamma_s, eta_s, axis=1)
+        else:
+            states, accums, trace = run_segment_chains(
+                n, cfg, states, accums, it, seg, tau_sweep=tau_sweep
+            )
         it += seg
         trace_parts.append(np.asarray(trace))
         save(checkpoint_path, states, accums, it,
-             np.concatenate(trace_parts, axis=1))
+             np.concatenate(trace_parts, axis=1), extras=draws.extras(axis=1))
 
     trace = jnp.asarray(np.concatenate(trace_parts, axis=1))
+    fields = draws.result_fields(axis=1)
     return jax.vmap(lambda ac, tr: _result_from_accum(ac, cfg, tr))(
         accums, trace
-    )
+    )._replace(**fields)
 
 
 # --------------------------------------------------------------------------
@@ -272,6 +413,40 @@ def run_pt_segment(
     return states, accums, rung, trace, jnp.sum(n_accs), jnp.sum(n_heads)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_sweeps", "max_temp", "tau_sweep"))
+def run_pt_segment_store(
+    n: jax.Array,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    states: SamplerState,
+    accums: SamplerAccum,
+    rung: jax.Array,
+    start_it: int,
+    n_sweeps: int,
+    max_temp: float,
+    tau_sweep=tau_sweep_xla,
+):
+    """run_pt_segment that also emits each sweep's COLD-rung (tau int8,
+    gamma, eta) — the replica holding rung 0 after the sweep's exchange,
+    matching run_chain_pt's stored-draw semantics."""
+    R = rung.shape[0]
+    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep)
+
+    def step_store(carry, it):
+        carry, ys = step(carry, it)
+        st, _, rg = carry
+        cold = jnp.argmin(rg)
+        return carry, (ys, st.tau[cold].astype(jnp.int8),
+                       st.gamma[cold], st.eta[cold])
+
+    (states, accums, rung), (ys, tau_s, gamma_s, eta_s) = jax.lax.scan(
+        step_store, (states, accums, rung), start_it + jnp.arange(n_sweeps)
+    )
+    trace, n_accs, n_heads = ys
+    return (states, accums, rung, trace, jnp.sum(n_accs), jnp.sum(n_heads),
+            tau_s, gamma_s, eta_s)
+
+
 def run_chain_pt_checkpointed(
     n: jax.Array,
     cfg: SamplerConfig,
@@ -286,9 +461,9 @@ def run_chain_pt_checkpointed(
 ) -> SamplerResult:
     """run_chain_pt with periodic checkpoints and automatic resume; the
     final result is identical to an uninterrupted run_chain_pt with the
-    same (n, cfg, key, n_replicas, max_temp)."""
-    if cfg.store_samples:
-        raise ValueError("store_samples is not supported with run_chain_pt")
+    same (n, cfg, key, n_replicas, max_temp) — including the cold-rung
+    thinned draws when cfg.store_samples is on (they ride the PT snapshot
+    like the plain path's extras channel)."""
     n = n.astype(jnp.float32)
     R = int(n_replicas)
     if R < 2:  # same degenerate-ladder fallback as run_chain_pt
@@ -297,30 +472,53 @@ def run_chain_pt_checkpointed(
             eta_init=eta_init, tau_init=tau_init, tau_sweep=tau_sweep,
         )
 
+    draws_path = checkpoint_path + ".draws.npz"
     if os.path.exists(checkpoint_path):
         states, accums, rung, it, trace_done, acc_sum, head_sum = load_pt(
             checkpoint_path)
         trace_parts = [trace_done[:it]]
+        draws = _DrawBuf(load_extras(draws_path)
+                         if os.path.exists(draws_path) else None)
+        # the draws file commits before the snapshot; a crash between the two
+        # leaves it one segment ahead — truncate to the committed sweep count
+        n_committed = len(stored_slots(0, it, cfg.burn, cfg.store_thin))
+        draws.truncate(n_committed)
     else:
         states, accums, rung = pt_init(n, cfg, key, R, eta_init=eta_init,
                                        tau_init=tau_init)
         it, acc_sum, head_sum = 0, 0.0, 0.0
         trace_parts = []
+        draws = _DrawBuf()
 
     while it < cfg.total_sweeps:
         seg = min(checkpoint_every, cfg.total_sweeps - it)
-        states, accums, rung, trace, n_acc, n_heads = run_pt_segment(
-            n, cfg, key, states, accums, rung, it, seg, max_temp,
-            tau_sweep=tau_sweep,
-        )
+        if cfg.store_samples:
+            (states, accums, rung, trace, n_acc, n_heads,
+             tau_s, gamma_s, eta_s) = run_pt_segment_store(
+                n, cfg, key, states, accums, rung, it, seg, max_temp,
+                tau_sweep=tau_sweep,
+            )
+            draws.append(stored_slots(it, seg, cfg.burn, cfg.store_thin),
+                         tau_s, gamma_s, eta_s)
+        else:
+            states, accums, rung, trace, n_acc, n_heads = run_pt_segment(
+                n, cfg, key, states, accums, rung, it, seg, max_temp,
+                tau_sweep=tau_sweep,
+            )
         it += seg
         acc_sum += float(n_acc)
         head_sum += float(n_heads)
         trace_parts.append(np.asarray(trace))
+        if cfg.store_samples:  # draws first: manifest-last ordering is the
+            ex = draws.extras()  # pt snapshot itself (save_pt renames last)
+            np.savez(draws_path + ".tmp.npz",
+                     **{f"extra_{k}": v for k, v in ex.items()})
+            os.replace(draws_path + ".tmp.npz", draws_path)
         save_pt(checkpoint_path, states, accums, rung, it,
                 np.concatenate(trace_parts), acc_sum, head_sum)
 
     trace = jnp.asarray(np.concatenate(trace_parts))
     accum = pt_merge_accums(accums)
     swap_rate = jnp.float32(acc_sum / max(head_sum, 1.0))
-    return _result_from_accum(accum, cfg, trace, pt_swap_accept=swap_rate)
+    return _result_from_accum(accum, cfg, trace, pt_swap_accept=swap_rate,
+                              **draws.result_fields())

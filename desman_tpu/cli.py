@@ -103,8 +103,8 @@ def _desman(argv) -> int:
     ap.add_argument("--store_every", type=int, default=0, metavar="K",
                     help="write every K-th post-burn (tau,gamma,eta) draw "
                     "to <out>/draws.npz (K must divide the sampling "
-                    "sweeps); composes with --chains/--mesh but not "
-                    "--pt/--checkpoint/--auto_burn")
+                    "sweeps); composes with every run mode "
+                    "(--chains/--mesh/--pt/--checkpoint/--auto_burn)")
     args = ap.parse_args(argv)
 
     from . import io
@@ -125,9 +125,11 @@ def _desman(argv) -> int:
         auto_max_burn=args.auto_max_burn, eta_update=args.eta_update,
         store_every=args.store_every,
     )
-    # capability matrix (VERDICT r1 item 4): every pairwise mode combination
-    # composes except tempering with plateau-detected burn-in (a temperature
-    # ladder defines its own burn-in dynamics) and a few mesh triples.
+    # capability matrix (VERDICT r1 item 4): every mode combination composes
+    # (--store_every rides all of them) except the three below, each
+    # structural: a temperature ladder has no single plateau to detect, PT
+    # replicas already occupy the mesh chain axis, and auto-burn checkpoints
+    # would host-gather sharded state.
     if args.auto_burn and args.pt >= 2:
         print("desman: --auto_burn is incompatible with --pt (the ladder's "
               "cold chain has no single plateau to detect)", file=sys.stderr)
@@ -137,19 +139,10 @@ def _desman(argv) -> int:
               "--checkpoint (replicas already occupy the mesh chain axis)",
               file=sys.stderr)
         return 2
-    if args.mesh and args.auto_burn:
-        print("desman: --auto_burn does not yet compose with --mesh",
-              file=sys.stderr)
-        return 2
-    if args.mesh and args.checkpoint and args.chains > 1:
-        print("desman: --mesh --checkpoint --chains is not yet supported",
-              file=sys.stderr)
-        return 2
-    if args.store_every and (args.auto_burn or args.checkpoint
-                             or (args.pt >= 2 and args.mesh)):
-        print("desman: --store_every composes with plain/--chains/--pt/"
-              "--mesh runs (not --checkpoint/--auto_burn/--pt --mesh)",
-              file=sys.stderr)
+    if args.mesh and args.auto_burn and args.checkpoint:
+        print("desman: --auto_burn --mesh --checkpoint is not supported "
+              "(auto-burn snapshots host-gather; use a fixed -i burn for "
+              "long sharded runs)", file=sys.stderr)
         return 2
     from .ops import resolve_tau_sweep
 
@@ -170,7 +163,7 @@ def _desman(argv) -> int:
         from .run import run_pt_sharded
 
         run_pt_sharded(data, rc, mesh, tau_sweep=tau_sweep)
-    elif mesh is not None and args.checkpoint:
+    elif mesh is not None and args.checkpoint and args.chains <= 1:
         from .run import run_sharded_checkpointed
 
         run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)

@@ -70,12 +70,19 @@ def fit_grid(
     data: Optional[io.CountsData] = None,
     mesh=None,
     tau_sweep=None,
+    resume: bool = True,
 ) -> List[RunRecord]:
     """Fit G x seeds on-device; optionally write per-run output dirs.
 
     Replaces the reference's shell-level process fan-out (SURVEY.md §2.2
     'multi-chain parallel'): seeds are vmapped; G values loop on host. Pass a
     (chain, data) Mesh to shard chains and positions across devices.
+
+    Elastic recovery (SURVEY.md §5 'failure detection'): with ``out_stub``
+    and ``resume`` (default), a G value whose every seed directory is already
+    complete on disk is skipped and its records are rebuilt from the files —
+    a crashed or preempted grid rerun does only the missing work. Pass
+    ``resume=False`` to force recomputation.
     """
     import math
 
@@ -89,6 +96,13 @@ def fit_grid(
     records: List[RunRecord] = []
     kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
     for G in g_values:
+        if resume and out_stub is not None and data is not None:
+            dirs = [f"{out_stub}_{G}_{int(s)}" for s in seeds]
+            if all(os.path.isfile(os.path.join(d, f))
+                   for d in dirs for f in ("fit.txt", "metrics.json",
+                                           "Tau_mean.csv")):
+                records.extend(scan_run_dirs(dirs, unc_threshold))
+                continue
         cfg = SamplerConfig(
             G=G, burn=burn, samples=iterations - burn,
             kappa_gamma=kappa_gamma, kappa_eta=kappa_eta, fix_eta=fix_eta,

@@ -84,3 +84,13 @@ def pad_positions(counts: np.ndarray, multiple: int):
         return counts, V
     pad = np.zeros((Vp - V,) + counts.shape[1:], counts.dtype)
     return np.concatenate([counts, pad], axis=0), V
+
+
+def pad_tau(tau, multiple: int):
+    """Pad a [V,G] tau (init/fixed haplotypes) to match pad_positions:
+    padded rows have zero coverage, so their base (A) is inert."""
+    if tau is None:
+        return None
+    tau = np.asarray(tau)
+    padded, _ = pad_positions(tau, multiple)
+    return padded

@@ -55,11 +55,56 @@ def _barrier(tag: str) -> None:
         multihost_utils.sync_global_devices(tag)
 
 
-def _row_start(shard) -> int:
+def _offsets(shard) -> str:
+    """Comma-joined per-dimension start offsets of a shard ("" for scalars).
+
+    Leaves may be sharded over any combination of axes (e.g. the chain AND
+    position axes of a multi-chain sharded run), so the member key records
+    every dimension's offset, not just the first."""
     idx = shard.index
-    if not idx:  # scalar
-        return 0
-    return idx[0].start or 0
+    return ",".join(str(s.start or 0) for s in idx)
+
+
+def _parse_offsets(tag: str, ndim: int):
+    if not tag:
+        return (0,) * ndim
+    off = tuple(int(x) for x in tag.split(","))
+    # pre-r3 checkpoints recorded only the first axis's offset
+    return off + (0,) * (ndim - len(off))
+
+
+def assemble_blocks(shape, dtype, idx, parts) -> np.ndarray:
+    """Assemble the region ``idx`` (a tuple of slices into an array of
+    ``shape``) from blocks given as an iterable of (offsets, ndarray).
+
+    Blocks tile the global array (one per distinct shard); each block copies
+    its overlap with the requested region. Works for any sharded-axis
+    combination — single-axis position sharding, (chain, data), etc.
+    """
+    lo = [s.start or 0 for s in idx]
+    hi = [s.stop if s.stop is not None else shape[d]
+          for d, s in enumerate(idx)]
+    out = np.empty([h - l for l, h in zip(lo, hi)], dtype)
+    filled = 0
+    for off, blk in parts:
+        src, dst = [], []
+        for d in range(len(shape)):
+            b_lo, b_hi = off[d], off[d] + blk.shape[d]
+            o_lo, o_hi = max(lo[d], b_lo), min(hi[d], b_hi)
+            if o_lo >= o_hi:
+                src = None
+                break
+            src.append(slice(o_lo - b_lo, o_hi - b_lo))
+            dst.append(slice(o_lo - lo[d], o_hi - lo[d]))
+        if src is None:
+            continue
+        piece = blk[tuple(src)]
+        out[tuple(dst)] = piece
+        filled += piece.size
+    if filled < out.size:  # overlaps can only re-write identical replicas
+        raise ValueError("checkpoint blocks do not cover the requested "
+                         f"region (got {filled}/{out.size} elements)")
+    return out
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
@@ -85,7 +130,7 @@ def save_sharded(ckpt_dir: str, state: SamplerState, accum: SamplerAccum,
         for shard in arr.addressable_shards:
             if shard.replica_id != 0:
                 continue
-            payload[f"{name}@{_row_start(shard)}"] = np.asarray(shard.data)
+            payload[f"{name}@{_offsets(shard)}"] = np.asarray(shard.data)
 
     spath = os.path.join(ckpt_dir, f"p{pid}_it{it}.npz")
     tmp = spath + ".tmp.npz"
@@ -116,6 +161,83 @@ def save_sharded(ckpt_dir: str, state: SamplerState, accum: SamplerAccum,
                 os.remove(old)
 
 
+_DRAW_FIELDS = ("tau", "gamma", "eta")
+
+
+def save_draw_shards(ckpt_dir: str, start_it: int, sweeps, tau_s, gamma_s,
+                     eta_s) -> None:
+    """Persist one segment's thinned posterior draws, shard-locally.
+
+    ``sweeps``: absolute sweep indices of the draws (host list); the draw
+    arrays have a leading draw axis and may be sharded on any later axis
+    (position and/or chain). Every process writes only its addressable
+    blocks — same multi-host discipline as the state checkpoint. Files are
+    content-addressed by segment start, so a crash-rerun of the same segment
+    atomically rewrites identical data (the PRNG stream is sweep-indexed).
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    pid = jax.process_index()
+    payload = {"sweeps": np.asarray(sweeps, np.int64)}
+    for name, arr in zip(_DRAW_FIELDS, (tau_s, gamma_s, eta_s)):
+        for shard in arr.addressable_shards:
+            if shard.replica_id != 0:
+                continue
+            payload[f"{name}@{_offsets(shard)}"] = np.asarray(shard.data)
+    path = os.path.join(ckpt_dir, f"p{pid}_draws_s{start_it}.npz")
+    np.savez(path + ".tmp.npz", **payload)
+    os.replace(path + ".tmp.npz", path)
+
+
+def assemble_draws(ckpt_dir: str, shapes: dict, dtypes: dict,
+                   upto_it: Optional[int] = None):
+    """Reassemble the full (sweep-ordered) draw arrays from every process's
+    segment files. ``shapes``/``dtypes``: per-field global per-draw shape and
+    dtype. Draws at sweeps >= ``upto_it`` (uncommitted ahead-writes) are
+    dropped. Returns (sweeps, {field: [k, *shape]}) or (None, {}) if no
+    draws were stored."""
+    seg_files = sorted(glob.glob(os.path.join(ckpt_dir, "p*_draws_s*.npz")))
+    if not seg_files:
+        return None, {}
+    # group blocks by absolute sweep: sweep -> field -> [(offsets, block)]
+    by_sweep: dict = {}
+    for path in seg_files:
+        z = np.load(path)
+        sweeps = z["sweeps"]
+        for key in z.files:
+            if key == "sweeps":
+                continue
+            name, tag = key.rsplit("@", 1)
+            blk = z[key]  # [k_seg, *shard_shape]
+            # the stored offsets include the (never-sharded) leading draw
+            # axis; drop it to get per-draw offsets
+            off = _parse_offsets(tag, len(shapes[name]) + 1)[1:]
+            for j, a in enumerate(sweeps):
+                a = int(a)
+                if upto_it is not None and a >= upto_it:
+                    continue
+                by_sweep.setdefault(a, {}).setdefault(name, []).append(
+                    (off, blk[j])
+                )
+    if not by_sweep:
+        return None, {}
+    order = sorted(by_sweep)
+    out = {}
+    for name in _DRAW_FIELDS:
+        shape = shapes[name]
+        full = tuple(slice(0, s) for s in shape)
+        out[name] = np.stack([
+            assemble_blocks(shape, dtypes[name], full, by_sweep[a][name])
+            for a in order
+        ])
+    return np.asarray(order, np.int64), out
+
+
+def clear_draw_shards(ckpt_dir: str) -> None:
+    pid = jax.process_index()
+    for path in glob.glob(os.path.join(ckpt_dir, f"p{pid}_draws_s*.npz")):
+        os.remove(path)
+
+
 def load_sharded(
     ckpt_dir: str, state_shardings: SamplerState, accum_shardings: SamplerAccum,
 ) -> Tuple[SamplerState, SamplerAccum, int, np.ndarray]:
@@ -130,15 +252,13 @@ def load_sharded(
         manifest = json.load(f)
     it = int(manifest["it"])
 
-    # index the committed step's blocks: name -> sorted [(row_start, npz, key)]
+    # index the committed step's blocks: name -> [(offset_tag, npz, key)]
     blocks: dict = {}
     for path in sorted(glob.glob(os.path.join(ckpt_dir, f"p*_it{it}.npz"))):
         z = np.load(path)
         for key in z.files:
-            name, start = key.rsplit("@", 1)
-            blocks.setdefault(name, []).append((int(start), z, key))
-    for name in blocks:
-        blocks[name].sort(key=lambda t: t[0])
+            name, tag = key.rsplit("@", 1)
+            blocks.setdefault(name, []).append((tag, z, key))
 
     def build(name: str, sharding):
         spec = manifest["fields"][name]
@@ -152,24 +272,11 @@ def load_sharded(
         def cb(idx):
             if not shape:  # scalar
                 return np.asarray(parts[0][1][parts[0][2]], dtype)
-            lo = idx[0].start or 0
-            hi = idx[0].stop if idx[0].stop is not None else shape[0]
-            rows = []
-            for start, z, key in parts:
-                blk = None
-                stop = None
-                # block row range is [start, start+len(blk)); length needs
-                # the payload, so probe lazily only when it can overlap
-                if start >= hi:
-                    break
-                blk = z[key]
-                stop = start + blk.shape[0]
-                if stop <= lo:
-                    continue
-                rows.append(blk[max(lo - start, 0):hi - start])
-            out = rows[0] if len(rows) == 1 else np.concatenate(rows, axis=0)
-            return np.ascontiguousarray(out[(slice(None),) + tuple(idx[1:])],
-                                        dtype=dtype)
+            return assemble_blocks(
+                shape, dtype, idx,
+                ((_parse_offsets(tag, len(shape)), z[key])
+                 for tag, z, key in parts),
+            )
 
         return jax.make_array_from_callback(shape, sharding, cb)
 

@@ -19,7 +19,10 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..sampler import SamplerConfig, SamplerResult, run_chain, tau_sweep_xla
-from .mesh import DATA_AXIS, Mesh, make_mesh, pad_positions, shard_counts, shard_keys
+from .mesh import (
+    DATA_AXIS, Mesh, make_mesh, pad_positions, pad_tau, shard_counts,
+    shard_keys,
+)
 
 
 def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
@@ -77,6 +80,7 @@ def run_chains_sharded(
     seeds: Sequence[int],
     mesh: Optional[Mesh] = None,
     eta_init=None,
+    tau_init=None,
     tau_sweep=tau_sweep_xla,
 ) -> SamplerResult:
     """Position-sharded, chain-parallel sampler run.
@@ -92,11 +96,14 @@ def run_chains_sharded(
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
     keys_dev = shard_keys(keys, mesh)
     eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
+    tau0 = (None if tau_init is None
+            else jnp.asarray(pad_tau(tau_init, n_data), jnp.int32))
 
     @jax.jit
     def go(n, keys):
         return jax.vmap(
-            lambda k: run_chain(n, cfg, k, eta_init=eta, tau_sweep=tau_sweep)
+            lambda k: run_chain(n, cfg, k, eta_init=eta, tau_init=tau0,
+                                tau_sweep=tau_sweep)
         )(keys)
 
     res = go(n_dev, keys_dev)
@@ -149,6 +156,7 @@ def run_chain_sharded_checkpointed(
     checkpoint_every: int = 50,
     mesh: Optional[Mesh] = None,
     eta_init=None,
+    tau_init=None,
     tau_sweep=tau_sweep_xla,
     stop_after: Optional[int] = None,
 ) -> Optional[SamplerResult]:
@@ -164,15 +172,20 @@ def run_chain_sharded_checkpointed(
     ``stop_after``: simulate a crash for tests — return None once at least
     this many sweeps are checkpointed, leaving the directory resumable.
     """
-    from ..checkpoint import run_segment
+    from ..checkpoint import run_segment, run_segment_store, stored_slots
     from ..sampler import init_accum, init_state
-    from .shard_ckpt import latest_step, load_sharded, save_sharded
+    from .shard_ckpt import (
+        assemble_draws, latest_step, load_sharded, save_draw_shards,
+        save_sharded,
+    )
 
     mesh = mesh or make_mesh()
     n_data = mesh.shape["data"]
     padded, V = pad_positions(np.asarray(counts, np.float32), n_data)
     n_dev = shard_counts(jnp.asarray(padded), mesh)
     eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
+    tau0 = (None if tau_init is None
+            else jnp.asarray(pad_tau(tau_init, n_data), jnp.int32))
 
     st_sh = _state_shardings(mesh)
     ac_sh = _accum_shardings(mesh)
@@ -182,7 +195,7 @@ def run_chain_sharded_checkpointed(
         trace_parts = [trace_done[:it]]
     else:
         state = jax.jit(
-            lambda n, k: init_state(n, cfg, k, eta),
+            lambda n, k: init_state(n, cfg, k, eta, tau0),
             static_argnames=(), out_shardings=st_sh,
         )(n_dev, key)
         accum = jax.tree_util.tree_map(
@@ -196,9 +209,22 @@ def run_chain_sharded_checkpointed(
         if stop_after is not None and it >= stop_after:
             return None  # simulated crash; directory stays resumable
         seg = min(checkpoint_every, cfg.total_sweeps - it)
-        state, accum, trace = run_segment(
-            n_dev, cfg, state, accum, it, seg, tau_sweep=tau_sweep,
-        )
+        if cfg.store_samples:
+            state, accum, trace, tau_s, gamma_s, eta_s = run_segment_store(
+                n_dev, cfg, state, accum, it, seg, tau_sweep=tau_sweep,
+            )
+            slots = stored_slots(it, seg, cfg.burn, cfg.store_thin)
+            if slots:
+                # draws stay sharded: each process persists only its blocks
+                # (draws are re-assembled from the shard files at the end)
+                j = jnp.asarray(slots)
+                save_draw_shards(checkpoint_path, it,
+                                 [it + s for s in slots],
+                                 tau_s[j], gamma_s[j], eta_s[j])
+        else:
+            state, accum, trace = run_segment(
+                n_dev, cfg, state, accum, it, seg, tau_sweep=tau_sweep,
+            )
         it += seg
         trace_parts.append(np.asarray(trace))
         save_sharded(checkpoint_path, state, accum, it,
@@ -206,8 +232,183 @@ def run_chain_sharded_checkpointed(
 
     from ..sampler import _result_from_accum
 
+    fields = {}
+    if cfg.store_samples:
+        Vp, S = padded.shape[0], padded.shape[1]
+        _, draws = assemble_draws(
+            checkpoint_path,
+            shapes={"tau": (Vp, cfg.G), "gamma": (S, cfg.G), "eta": (4, 4)},
+            dtypes={"tau": np.int8, "gamma": np.float32, "eta": np.float32},
+            upto_it=cfg.total_sweeps,
+        )
+        if draws:
+            fields = {"tau_samples": jnp.asarray(draws["tau"][:, :V]),
+                      "gamma_samples": jnp.asarray(draws["gamma"]),
+                      "eta_samples": jnp.asarray(draws["eta"])}
+
     res = _result_from_accum(accum, cfg, jnp.asarray(np.concatenate(trace_parts)))
+    res = res._replace(**fields)
     return res._replace(tau_mean=res.tau_mean[:V], tau_star=res.tau_star[:V])
+
+
+def _state_shardings_chains(mesh: Mesh):
+    """Shardings for [C]-leading multi-chain state: chains over 'chain',
+    positions over 'data'."""
+    from jax.sharding import NamedSharding
+
+    from ..sampler import SamplerState
+    from .mesh import CHAIN_AXIS
+
+    def sh(spec):
+        return NamedSharding(mesh, spec)
+
+    C = P(CHAIN_AXIS)
+    return SamplerState(
+        tau=sh(P(CHAIN_AXIS, DATA_AXIS)), gamma=sh(C), eta=sh(C),
+        mix=sh(P(CHAIN_AXIS, DATA_AXIS)), loglik=sh(C), key=sh(C),
+        kappa_gamma=sh(C), kappa_eta=sh(C),
+    )
+
+
+def _accum_shardings_chains(mesh: Mesh):
+    from jax.sharding import NamedSharding
+
+    from ..sampler import SamplerAccum
+    from .mesh import CHAIN_AXIS
+
+    def sh(spec):
+        return NamedSharding(mesh, spec)
+
+    C = P(CHAIN_AXIS)
+    return SamplerAccum(
+        sum_tau=sh(P(CHAIN_AXIS, DATA_AXIS)), sum_gamma=sh(C),
+        sum_eta=sh(C), sum_loglik=sh(C), n_samples=sh(C),
+        star_loglik=sh(C), star_tau=sh(P(CHAIN_AXIS, DATA_AXIS)),
+        star_gamma=sh(C), star_eta=sh(C),
+        acc_gamma=sh(C), acc_eta=sh(C),
+    )
+
+
+def run_chains_sharded_checkpointed(
+    counts: np.ndarray,
+    cfg: SamplerConfig,
+    seeds: Sequence[int],
+    checkpoint_path: str,
+    checkpoint_every: int = 50,
+    mesh: Optional[Mesh] = None,
+    eta_init=None,
+    tau_init=None,
+    tau_sweep=tau_sweep_xla,
+    stop_after: Optional[int] = None,
+) -> Optional[SamplerResult]:
+    """run_chains_sharded with periodic multi-host-safe checkpoints (the
+    --mesh x --checkpoint x --chains cell of the CLI capability matrix).
+
+    One shard-checkpoint directory holds every chain's state with a leading
+    chain axis sharded over the mesh 'chain' axis (the N-D offset scheme in
+    shard_ckpt handles chain x position tiles); the result is bitwise
+    identical to run_chains_sharded with the same seeds, interrupted or not,
+    and resume may change mesh shape / process count. cfg.store_samples
+    composes: thinned draws persist as per-process shard files.
+    """
+    from jax.sharding import NamedSharding
+
+    from ..checkpoint import (
+        run_segment_chains, run_segment_chains_store, stored_slots,
+    )
+    from ..sampler import _result_from_accum, init_accum, init_state
+    from .shard_ckpt import (
+        assemble_draws, latest_step, load_sharded, save_draw_shards,
+        save_sharded,
+    )
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    padded, V = pad_positions(np.asarray(counts, np.float32), n_data)
+    n_dev = shard_counts(jnp.asarray(padded), mesh)
+    eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
+    C = len(seeds)
+    Vp, S = padded.shape[0], padded.shape[1]
+
+    st_sh = _state_shardings_chains(mesh)
+    ac_sh = _accum_shardings_chains(mesh)
+    if latest_step(checkpoint_path) is not None:
+        states, accums, it, trace_done = load_sharded(
+            checkpoint_path, st_sh, ac_sh)
+        trace_parts = [trace_done[:, :it]]
+    else:
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        keys_dev = shard_keys(keys, mesh)
+        tau0 = (None if tau_init is None
+                else jnp.asarray(pad_tau(tau_init, n_data), jnp.int32))
+        states = jax.jit(
+            jax.vmap(lambda n, k: init_state(n, cfg, k, eta, tau0),
+                     in_axes=(None, 0)),
+            out_shardings=st_sh,
+        )(n_dev, keys_dev)
+        accums = jax.tree_util.tree_map(
+            lambda x, sh: jax.device_put(
+                jnp.broadcast_to(x, (C,) + jnp.shape(x)), sh),
+            init_accum(Vp, S, cfg.G), ac_sh,
+        )
+        it = 0
+        trace_parts = []
+
+    rep = NamedSharding(mesh, P())
+    while it < cfg.total_sweeps:
+        if stop_after is not None and it >= stop_after:
+            return None  # simulated crash; directory stays resumable
+        seg = min(checkpoint_every, cfg.total_sweeps - it)
+        if cfg.store_samples:
+            states, accums, trace, tau_s, gamma_s, eta_s = (
+                run_segment_chains_store(
+                    n_dev, cfg, states, accums, it, seg, tau_sweep=tau_sweep,
+                ))
+            slots = stored_slots(it, seg, cfg.burn, cfg.store_thin)
+            if slots:
+                j = jnp.asarray(slots)
+                # draw-leading layout: per-draw shape (C, ...) so the
+                # chain x position offsets key the shard blocks
+                save_draw_shards(
+                    checkpoint_path, it, [it + s for s in slots],
+                    jnp.moveaxis(tau_s[:, j], 1, 0),
+                    jnp.moveaxis(gamma_s[:, j], 1, 0),
+                    jnp.moveaxis(eta_s[:, j], 1, 0),
+                )
+        else:
+            states, accums, trace = run_segment_chains(
+                n_dev, cfg, states, accums, it, seg, tau_sweep=tau_sweep,
+            )
+        it += seg
+        # the [C, seg] trace is chain-sharded; replicate (tiny) so process 0
+        # can write the global trace file
+        trace_parts.append(np.asarray(jax.device_put(trace, rep)))
+        save_sharded(checkpoint_path, states, accums, it,
+                     np.concatenate(trace_parts, axis=1))
+
+    fields = {}
+    if cfg.store_samples:
+        _, draws = assemble_draws(
+            checkpoint_path,
+            shapes={"tau": (C, Vp, cfg.G), "gamma": (C, S, cfg.G),
+                    "eta": (C, 4, 4)},
+            dtypes={"tau": np.int8, "gamma": np.float32, "eta": np.float32},
+            upto_it=cfg.total_sweeps,
+        )
+        if draws:  # back to [C, k, ...] with padding stripped
+            fields = {
+                "tau_samples": jnp.asarray(
+                    np.moveaxis(draws["tau"], 0, 1)[:, :, :V]),
+                "gamma_samples": jnp.asarray(np.moveaxis(draws["gamma"], 0, 1)),
+                "eta_samples": jnp.asarray(np.moveaxis(draws["eta"], 0, 1)),
+            }
+
+    trace = jnp.asarray(np.concatenate(trace_parts, axis=1))
+    res = jax.vmap(lambda ac, tr: _result_from_accum(ac, cfg, tr))(
+        accums, trace
+    )._replace(**fields)
+    return res._replace(tau_mean=res.tau_mean[:, :V],
+                        tau_star=res.tau_star[:, :V])
 
 
 def run_chain_pt_sharded(
@@ -218,6 +419,7 @@ def run_chain_pt_sharded(
     max_temp: float = 8.0,
     mesh: Optional[Mesh] = None,
     eta_init=None,
+    tau_init=None,
     tau_sweep=tau_sweep_xla,
 ) -> SamplerResult:
     """Parallel tempering on a (chain, data) mesh: replicas shard over the
@@ -236,9 +438,11 @@ def run_chain_pt_sharded(
     n_dev = shard_counts(jnp.asarray(padded), mesh)
     eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
 
+    tau0 = (None if tau_init is None
+            else jnp.asarray(pad_tau(tau_init, n_data), jnp.int32))
     res = run_chain_pt(
         n_dev, cfg, key, n_replicas=n_replicas, max_temp=max_temp,
-        eta_init=eta, tau_sweep=tau_sweep,
+        eta_init=eta, tau_init=tau0, tau_sweep=tau_sweep,
         replica_sharding=NamedSharding(mesh, P(CHAIN_AXIS, None)),
     )
     res = res._replace(tau_mean=res.tau_mean[:V], tau_star=res.tau_star[:V])

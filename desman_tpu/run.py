@@ -130,10 +130,6 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     t0 = time.time()
     if rc.auto_burn and rc.pt_replicas >= 2:
         raise ValueError("auto_burn is incompatible with pt")
-    if rc.store_every and (rc.auto_burn or rc.checkpoint_path):
-        raise ValueError(
-            "store_every composes with plain/--chains/--pt/--mesh runs only"
-        )
     with device_trace(rc.profile_dir):
         if rc.auto_burn and rc.checkpoint_path:
             import jax.tree_util as jtu
@@ -221,15 +217,20 @@ def run_sharded_checkpointed(
     eta_init = None
     if rc.eta_file:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+    tau_init = load_tau_init(rc.tau_file, data) if rc.tau_file else None
     t0 = time.time()
     res = run_chain_sharded_checkpointed(
         data.counts, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
         checkpoint_every=rc.checkpoint_every, mesh=mesh, eta_init=eta_init,
-        tau_sweep=tau_sweep or tau_sweep_xla,
+        tau_init=tau_init, tau_sweep=tau_sweep or tau_sweep_xla,
     )
     jax.block_until_ready(res.star_loglik)
     write_outputs(rc.out_dir, data, res, cfg, time.time() - t0,
                   seed=rc.seed)
+    if res.tau_samples is not None:  # --store_every draws (shard-assembled)
+        io.write_draws(os.path.join(rc.out_dir, "draws.npz"),
+                       res.tau_samples, res.gamma_samples, res.eta_samples,
+                       burn=cfg.burn, thin=cfg.store_thin)
     return res
 
 
@@ -248,15 +249,21 @@ def run_pt_sharded(
     eta_init = None
     if rc.eta_file:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
+    tau_init = load_tau_init(rc.tau_file, data) if rc.tau_file else None
     t0 = time.time()
     res = run_chain_pt_sharded(
         data.counts, cfg, jax.random.PRNGKey(rc.seed),
         n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp, mesh=mesh,
-        eta_init=eta_init, tau_sweep=tau_sweep or tau_sweep_xla,
+        eta_init=eta_init, tau_init=tau_init,
+        tau_sweep=tau_sweep or tau_sweep_xla,
     )
     jax.block_until_ready(res.star_loglik)
     write_outputs(rc.out_dir, data, res, cfg, time.time() - t0,
                   seed=rc.seed)
+    if res.tau_samples is not None:  # cold-rung draws (--store_every --pt --mesh)
+        io.write_draws(os.path.join(rc.out_dir, "draws.npz"),
+                       res.tau_samples, res.gamma_samples, res.eta_samples,
+                       burn=cfg.burn, thin=cfg.store_thin)
     return res
 
 
@@ -291,10 +298,6 @@ def run_multi(
     seeds = list(range(rc.seed, rc.seed + n_chains))
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
-    if rc.store_every and (rc.auto_burn or rc.checkpoint_path):
-        raise ValueError(
-            "store_every composes with plain/--chains/--pt/--mesh runs only"
-        )
     t0 = time.time()
     if rc.auto_burn:
         from .converge import run_chains_auto
@@ -302,7 +305,7 @@ def run_multi(
         res, burn_used = run_chains_auto(
             n, cfg, keys, eta_init=eta_init, tau_init=tau_init,
             rel_tol=rc.auto_tol, max_burn=rc.auto_max_burn,
-            checkpoint_path=rc.checkpoint_path, **sweep_kw,
+            checkpoint_path=rc.checkpoint_path, mesh=mesh, **sweep_kw,
         )
         from dataclasses import replace as _replace
 
@@ -314,6 +317,14 @@ def run_multi(
             n, cfg, seeds, n_replicas=rc.pt_replicas,
             max_temp=rc.pt_max_temp, eta_init=eta_init, tau_init=tau_init,
             **sweep_kw,
+        )
+    elif rc.checkpoint_path and mesh is not None:
+        from .parallel import run_chains_sharded_checkpointed
+
+        res = run_chains_sharded_checkpointed(
+            data.counts, cfg, seeds, rc.checkpoint_path,
+            checkpoint_every=rc.checkpoint_every, mesh=mesh,
+            eta_init=eta_init, tau_init=tau_init, **sweep_kw,
         )
     elif rc.checkpoint_path:
         from .checkpoint import run_chains_checkpointed
@@ -327,7 +338,8 @@ def run_multi(
         from .parallel import run_chains_sharded
 
         res = run_chains_sharded(data.counts, cfg, seeds, mesh=mesh,
-                                 eta_init=eta_init, **sweep_kw)
+                                 eta_init=eta_init, tau_init=tau_init,
+                                 **sweep_kw)
     else:
         res = run_chains(n, cfg, seeds, eta_init=eta_init,
                          tau_init=tau_init, **sweep_kw)

@@ -217,6 +217,11 @@ def test_desman_cli_store_every_and_diag(small_synth, tmp_path):
     assert np.isfinite(draws["gamma"]).all()
     np.testing.assert_allclose(draws["gamma"].sum(-1), 1.0, rtol=1e-5)
 
-    # still rejected where unsupported
-    assert main(["desman", counts, "-g", "2", "-o", out, "-i", "20",
-                 "--store_every", "2", "--auto_burn"]) == 2
+    # r3: --store_every composes with --auto_burn too (draws from the
+    # post-plateau sampling phase; see test_matrix.test_cli_matrix_combos_r3)
+    out_ab = str(tmp_path / "out_ab")
+    rc = main(["desman", counts, "-g", "2", "-o", out_ab, "-i", "20",
+               "--store_every", "2", "--auto_burn", "--auto_max_burn", "40"])
+    assert rc == 0
+    draws = io.read_draws(os.path.join(out_ab, "draws.npz"))
+    assert draws["tau"].shape == (5, t.data.V, 2)

@@ -111,3 +111,61 @@ def test_plot_abundances(tmp_path):
     out = tmp_path / "g.png"
     assert plot_abundances.main([str(csv), "-o", str(out)]) == 0
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_extract_genes_and_select_core(tmp_path):
+    """extract_genes: GFF -> gene table (+ strand-aware FASTA);
+    select_core: COG hits + core list -> core subset; the table round-trips
+    into genecov.read_gene_table."""
+    import extract_genes
+    import select_core
+
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(">c1\nACGTACGTAA\n>c2\nTTTTGGGGCC\n")
+    gff = tmp_path / "genes.gff"
+    gff.write_text(
+        "##gff-version 3\n"
+        "c1\tprodigal\tCDS\t1\t6\t.\t+\t0\tID=g1;partial=00\n"
+        "c1\tprodigal\tCDS\t7\t10\t.\t-\t0\tID=g2\n"
+        "c2\tprodigal\tCDS\t3\t8\t.\t+\t0\tID=g3\n"
+        "c2\tprodigal\tmRNA\t1\t4\t.\t+\t0\tID=skipme\n"
+    )
+    table = tmp_path / "genes.tsv"
+    gene_fa = tmp_path / "genes.fa"
+    rc = extract_genes.main([str(gff), "-o", str(table), "--fasta", str(asm),
+                             "--fasta_out", str(gene_fa)])
+    assert rc == 0
+    lines = table.read_text().splitlines()
+    assert lines[0] == "gene\tcontig\tstart\tend"
+    assert lines[1:] == ["g1\tc1\t0\t6", "g2\tc1\t6\t10", "g3\tc2\t2\t8"]
+    fa = dict(extract_genes.iter_fasta(str(gene_fa)))
+    assert fa["g1"] == "ACGTAC"
+    assert fa["g2"] == "TTAC"          # revcomp of GTAA
+    assert fa["g3"] == "TTGGGG"
+
+    from desman_tpu.genecov import read_gene_table
+
+    gt = read_gene_table(str(table))
+    assert gt.names == ["g1", "g2", "g3"] and list(gt.ends) == [6, 10, 8]
+
+    hits = tmp_path / "hits.tsv"
+    hits.write_text(
+        "g1\tgnl|CDD|223251 COG0016\t98.2\n"
+        "g1\tgnl|CDD|999999 COG9999\t55.0\n"   # worse hit, ignored
+        "g2\tgnl|CDD|224121 COG0090\n"
+        "g3\tgnl|CDD|225000 COG0541\n"
+    )
+    core = tmp_path / "core.txt"
+    core.write_text("# SCGs\nCOG0016\nCOG0541\n")
+    out = tmp_path / "core_genes.tsv"
+    rc = select_core.main([str(table), str(hits), str(core), "-o", str(out)])
+    assert rc == 0
+    kept = out.read_text().splitlines()[1:]
+    assert kept == ["g1\tc1\t0\t6", "g3\tc2\t2\t8"]
+
+    # --unique drops multi-copy core COGs
+    hits.write_text("g1\tCOG0016\ng2\tCOG0016\ng3\tCOG0541\n")
+    rc = select_core.main([str(table), str(hits), str(core), "-o", str(out),
+                           "--unique"])
+    assert rc == 0
+    assert out.read_text().splitlines()[1:] == ["g3\tc2\t2\t8"]
