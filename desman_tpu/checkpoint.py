@@ -30,6 +30,37 @@ _STATE_FIELDS = SamplerState._fields
 _ACCUM_FIELDS = SamplerAccum._fields
 
 
+class Preempted(Exception):
+    """Raised between segments after a SIGTERM: the checkpoint on disk is
+    committed and the run is resumable (the CLI exits 75, EX_TEMPFAIL)."""
+
+
+_PREEMPTED = False
+
+
+def _on_sigterm(signum, frame):  # pragma: no cover - exercised via CLI test
+    global _PREEMPTED
+    _PREEMPTED = True
+
+
+def install_preemption_handler() -> None:
+    """SIGTERM = preemption notice (the TPU-pod eviction contract): finish
+    the in-flight segment, commit its checkpoint, then raise Preempted at
+    the next segment boundary instead of dying mid-save. Installed by the
+    CLI for checkpointed runs; safe to call more than once."""
+    import signal as _signal
+
+    _signal.signal(_signal.SIGTERM, _on_sigterm)
+
+
+def check_preempted() -> None:
+    global _PREEMPTED
+    if _PREEMPTED:
+        _PREEMPTED = False
+        raise Preempted("SIGTERM received; checkpoint committed — rerun to "
+                        "resume")
+
+
 def save(path: str, state: SamplerState, accum: SamplerAccum, it: int,
          trace: np.ndarray, extras: Optional[dict] = None) -> None:
     """Serialize a chain snapshot atomically (write + rename).
@@ -224,6 +255,7 @@ def run_chain_checkpointed(
         draws = _DrawBuf()
 
     while it < cfg.total_sweeps:
+        check_preempted()
         seg = min(checkpoint_every, cfg.total_sweeps - it)
         if cfg.store_samples:
             state, accum, trace, tau_s, gamma_s, eta_s = run_segment_store(
@@ -334,6 +366,7 @@ def run_chains_checkpointed(
         draws = _DrawBuf()
 
     while it < cfg.total_sweeps:
+        check_preempted()
         seg = min(checkpoint_every, cfg.total_sweeps - it)
         if cfg.store_samples:
             states, accums, trace, tau_s, gamma_s, eta_s = (
@@ -491,6 +524,7 @@ def run_chain_pt_checkpointed(
         draws = _DrawBuf()
 
     while it < cfg.total_sweeps:
+        check_preempted()
         seg = min(checkpoint_every, cfg.total_sweeps - it)
         if cfg.store_samples:
             (states, accums, rung, trace, n_acc, n_heads,

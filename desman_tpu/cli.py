@@ -159,19 +159,31 @@ def _desman(argv) -> int:
             print(f"desman: --pt {args.pt} must be a multiple of the mesh "
                   f"chain axis {c}", file=sys.stderr)
             return 2
-    if mesh is not None and args.pt >= 2:
-        from .run import run_pt_sharded
+    if args.checkpoint:
+        # SIGTERM (pod eviction / preemption) -> finish the in-flight
+        # segment, commit its checkpoint, exit 75 (resumable)
+        from .checkpoint import Preempted, install_preemption_handler
 
-        run_pt_sharded(data, rc, mesh, tau_sweep=tau_sweep)
-    elif mesh is not None and args.checkpoint and args.chains <= 1:
-        from .run import run_sharded_checkpointed
-
-        run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)
-    elif args.chains > 1 or mesh is not None:
-        run_multi(data, rc, n_chains=max(args.chains, 1),
-                  tau_sweep=tau_sweep, mesh=mesh)
+        install_preemption_handler()
     else:
-        run(data, rc, tau_sweep=tau_sweep)
+        Preempted = ()  # nothing raises it without a checkpoint
+    try:
+        if mesh is not None and args.pt >= 2:
+            from .run import run_pt_sharded
+
+            run_pt_sharded(data, rc, mesh, tau_sweep=tau_sweep)
+        elif mesh is not None and args.checkpoint and args.chains <= 1:
+            from .run import run_sharded_checkpointed
+
+            run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)
+        elif args.chains > 1 or mesh is not None:
+            run_multi(data, rc, n_chains=max(args.chains, 1),
+                      tau_sweep=tau_sweep, mesh=mesh)
+        else:
+            run(data, rc, tau_sweep=tau_sweep)
+    except Preempted as e:
+        print(f"desman: preempted — {e}", file=sys.stderr)
+        return 75  # EX_TEMPFAIL: rerun the same command to resume
     print(f"desman: wrote {args.output_dir}/fit.txt")
     return 0
 

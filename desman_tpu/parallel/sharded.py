@@ -172,7 +172,9 @@ def run_chain_sharded_checkpointed(
     ``stop_after``: simulate a crash for tests — return None once at least
     this many sweeps are checkpointed, leaving the directory resumable.
     """
-    from ..checkpoint import run_segment, run_segment_store, stored_slots
+    from ..checkpoint import (
+        check_preempted, run_segment, run_segment_store, stored_slots,
+    )
     from ..sampler import init_accum, init_state
     from .shard_ckpt import (
         assemble_draws, latest_step, load_sharded, save_draw_shards,
@@ -206,6 +208,7 @@ def run_chain_sharded_checkpointed(
         trace_parts = []
 
     while it < cfg.total_sweeps:
+        check_preempted()
         if stop_after is not None and it >= stop_after:
             return None  # simulated crash; directory stays resumable
         seg = min(checkpoint_every, cfg.total_sweeps - it)
@@ -314,7 +317,8 @@ def run_chains_sharded_checkpointed(
     from jax.sharding import NamedSharding
 
     from ..checkpoint import (
-        run_segment_chains, run_segment_chains_store, stored_slots,
+        check_preempted, run_segment_chains, run_segment_chains_store,
+        stored_slots,
     )
     from ..sampler import _result_from_accum, init_accum, init_state
     from .shard_ckpt import (
@@ -356,6 +360,7 @@ def run_chains_sharded_checkpointed(
 
     rep = NamedSharding(mesh, P())
     while it < cfg.total_sweeps:
+        check_preempted()
         if stop_after is not None and it >= stop_after:
             return None  # simulated crash; directory stays resumable
         seg = min(checkpoint_every, cfg.total_sweeps - it)

@@ -33,9 +33,19 @@ def enable_compilation_cache() -> None:
     if os.environ.get("DESMAN_TPU_NO_CACHE"):
         return
     try:
+        # partition by jax version AND backend: deserializing an executable
+        # written under a different platform/plugin registration can
+        # segfault outright (observed once with mixed axon/cpu sessions) —
+        # keep those worlds in separate directories
+        backend = "unknown"
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            pass
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "desman_tpu_xla"),
+            os.path.join(os.path.expanduser("~"), ".cache", "desman_tpu_xla",
+                         f"{jax.__version__}-{backend}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -7,6 +7,10 @@ import os
 
 # overwrite, not setdefault: the ambient environment exports JAX_PLATFORMS=axon
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic tests: never read/write the persistent XLA executable cache (a
+# stale cross-session entry once SEGFAULTED deserialization mid-suite; CLI
+# tests would otherwise switch it on via _enable_compilation_cache)
+os.environ["DESMAN_TPU_NO_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -137,3 +137,34 @@ def test_metrics_seed_is_authoritative(tmp_path):
     os.rename(src, dst)
     (rec,) = scan_run_dirs([dst])
     assert rec.seed == 7
+
+
+def test_sigterm_preemption_graceful_exit(tmp_path):
+    """SIGTERM (pod preemption) -> the run finishes its segment, commits the
+    checkpoint, and exits 75 (EX_TEMPFAIL); rerunning resumes bitwise."""
+    t = synth.generate(V=60, S=6, G=2, coverage=30.0, seed=0)
+    csv = str(tmp_path / "c.csv")
+    io.write_counts_csv(csv, t.data)
+    ck = str(tmp_path / "ck.npz")
+    base = [csv, "-g", "2", "-i", "4000", "-s", "0", "-o",
+            str(tmp_path / "out"), "--checkpoint", ck,
+            "--checkpoint_every", "25"]
+    with open(tmp_path / "run.log", "w") as log:
+        p = _desman(base, log)
+        deadline = time.time() + 300
+        while not os.path.exists(ck) and p.poll() is None:
+            if time.time() > deadline:
+                p.kill()
+                pytest.fail("no checkpoint appeared within 300s")
+            time.sleep(0.05)
+        if p.poll() is not None:
+            pytest.skip("run completed before SIGTERM could be sent")
+        p.terminate()                      # the preemption notice
+        rc = p.wait(timeout=120)
+    assert rc == 75, (tmp_path / "run.log").read_text()[-2000:]
+    it = int(np.load(ck)["it"])
+    assert 0 < it < 4000
+
+    with open(tmp_path / "run2.log", "w") as log:  # resume to completion
+        assert _desman(base, log).wait(timeout=600) == 0
+    assert os.path.exists(tmp_path / "out" / "fit.txt")
