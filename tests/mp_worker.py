@@ -8,9 +8,13 @@ same program as every other process. Cross-process psums ride gloo (the CPU
 stand-in for ICI/DCN). Process 0 writes the gathered results to --out.
 
 Modes:
-  chains  run_chains_sharded on a (chain, data) mesh
-  ckpt    run_chain_sharded_checkpointed in --segments pieces (per-process
-          shard files; exercises save+resume across process boundaries)
+  chains       run_chains_sharded on a (chain, data) mesh
+  ckpt         run_chain_sharded_checkpointed in --segments pieces
+               (per-process shard files; save+resume across process
+               boundaries)
+  chains_ckpt  run_chains_sharded_checkpointed with store_samples: the
+               chain x position N-D shard checkpoint + shard-local draw
+               files, across real process boundaries
 """
 import argparse
 import os
@@ -24,7 +28,8 @@ def main() -> int:
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--local_devices", type=int, default=4)
     ap.add_argument("--out", required=True, help="result npz (written by rank 0)")
-    ap.add_argument("--mode", choices=["chains", "ckpt"], default="chains")
+    ap.add_argument("--mode", choices=["chains", "ckpt", "chains_ckpt"],
+                    default="chains")
     ap.add_argument("--n_chain", type=int, default=2, help="mesh chain axis")
     ap.add_argument("--ckpt_dir", default=None)
     ap.add_argument("--stop_after", type=int, default=0,
@@ -72,6 +77,21 @@ def main() -> int:
         from desman_tpu.parallel import run_chains_sharded
 
         res = run_chains_sharded(data.counts, cfg, seeds=[0, 1], mesh=mesh)
+    elif args.mode == "chains_ckpt":
+        from dataclasses import replace
+
+        from desman_tpu.parallel import run_chains_sharded_checkpointed
+
+        assert args.ckpt_dir, "--ckpt_dir required for mode=chains_ckpt"
+        cfg_store = replace(cfg, store_samples=True, store_thin=5)
+        res = run_chains_sharded_checkpointed(
+            data.counts, cfg_store, [0, 1], args.ckpt_dir,
+            checkpoint_every=7, mesh=mesh,
+            stop_after=args.stop_after or None,
+        )
+        if res is None:  # interrupted run: resume happens in a later launch
+            jax.distributed.shutdown()
+            return 0
     else:
         from desman_tpu.parallel import run_chain_sharded_checkpointed
 
@@ -93,6 +113,8 @@ def main() -> int:
         "star_loglik": fetch(res.star_loglik),
         "loglik_trace": fetch(res.loglik_trace),
     }
+    if res.tau_samples is not None:  # already host-assembled from shard files
+        out["tau_samples"] = np.asarray(res.tau_samples)
     if is_coordinator():
         tmp = args.out + ".tmp.npz"
         np.savez(tmp, **out)

@@ -134,3 +134,47 @@ def test_multiprocess_sharded_checkpoint_crash_resume(tmp_path):
         np.testing.assert_allclose(
             got[k], np.asarray(getattr(ref, k)), rtol=2e-5, atol=1e-6,
             err_msg=k)
+
+
+def test_multiprocess_chains_ckpt_with_draws_crash_resume(tmp_path):
+    """The r3 chain x position shard checkpoint, across REAL process
+    boundaries: 2 jax processes run run_chains_sharded_checkpointed with
+    store_samples on a 2x4 mesh, 'crash' after one segment (N-D offset
+    shard files + shard-local draw files on the shared dir), relaunch, and
+    the resumed result — including the assembled thinned draws — must match
+    the uninterrupted in-process run."""
+    import jax.numpy as jnp
+
+    from dataclasses import replace
+
+    from desman_tpu.parallel import make_mesh, run_chains_sharded
+
+    ckpt = tmp_path / "mp_cc"
+    base = ["--mode", "chains_ckpt", "--n_chain", "2",
+            "--ckpt_dir", str(ckpt)]
+    # crash at sweep 28: past burn (20), so thinned draws already exist
+    _spawn_workers(2, 4, base + ["--stop_after", "28"], tmp_path)
+    assert (ckpt / "manifest.json").is_file()
+    # the chain axis splits across processes: each file's tau blocks carry
+    # 2-D (chain,row) offsets and only that process's blocks
+    z0 = np.load(ckpt / "p0_it28.npz")
+    tau_keys = [k for k in z0.files if k.startswith("state_tau@")]
+    assert tau_keys and all("," in k.rsplit("@", 1)[1] for k in tau_keys)
+    draw_files = sorted(p.name for p in ckpt.glob("p*_draws_s*.npz"))
+    assert draw_files, "segment draw shards must exist after the crash"
+
+    out = _spawn_workers(2, 4, base, tmp_path)
+
+    truth = synth.generate(V=64, S=6, G=3, coverage=50.0, seed=7)
+    cfg = replace(SamplerConfig(G=3, burn=20, samples=20, nmf_iters=50),
+                  store_samples=True, store_thin=5)
+    ref = run_chains_sharded(truth.data.counts, cfg, [0, 1],
+                             mesh=make_mesh(n_chain=2, n_data=4))
+    got = np.load(out)
+    np.testing.assert_array_equal(got["tau_star"], np.asarray(ref.tau_star))
+    np.testing.assert_array_equal(got["tau_samples"],
+                                  np.asarray(ref.tau_samples))
+    for k in ("tau_mean", "gamma_mean", "eta_mean", "loglik_trace"):
+        np.testing.assert_allclose(
+            got[k], np.asarray(getattr(ref, k)), rtol=2e-5, atol=1e-6,
+            err_msg=k)
