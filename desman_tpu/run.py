@@ -378,6 +378,7 @@ def write_outputs(
     cfg: SamplerConfig,
     elapsed: Optional[float] = None,
     seed: Optional[int] = None,
+    extra_metrics: Optional[dict] = None,
 ) -> None:
     """Write the DESMAN-compatible output file set (SURVEY.md §8).
 
@@ -440,6 +441,7 @@ def write_outputs(
         "final_loglik": float(np.asarray(res.loglik_trace)[-1]),
         "elapsed_s": elapsed,
         "sweeps_per_s": (cfg.total_sweeps / elapsed) if elapsed else None,
+        **(extra_metrics or {}),
     }
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)

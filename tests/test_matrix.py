@@ -15,6 +15,9 @@ from desman_tpu import io, synth
 from desman_tpu.checkpoint import run_chains_checkpointed
 from desman_tpu.converge import run_chains_auto
 from desman_tpu.sampler import (
+import pytest
+
+pytestmark = pytest.mark.slow  # long MCMC / subprocess fault injection (make test-fast skips)
     SamplerConfig, run_chain_pt, run_chains, run_chains_pt,
 )
 

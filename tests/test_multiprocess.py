@@ -18,6 +18,8 @@ import pytest
 import desman_tpu.synth as synth
 from desman_tpu.sampler import SamplerConfig, run_chains
 
+pytestmark = pytest.mark.slow  # long MCMC / subprocess fault injection (make test-fast skips)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "mp_worker.py")
 
