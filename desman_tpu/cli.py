@@ -80,7 +80,8 @@ def _desman(argv) -> int:
     ap.add_argument("--checkpoint_every", type=int, default=50)
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler device trace to this dir")
-    ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
+    ap.add_argument("--kernel", choices=["xla", "pallas", "pallas_topk"],
+                    default="xla",
                     help="tau-sweep implementation")
     ap.add_argument("--pt", type=int, default=0, metavar="R",
                     help="parallel tempering with R replicas (better mixing "
@@ -126,27 +127,28 @@ def _desman(argv) -> int:
         store_every=args.store_every,
     )
     # capability matrix (VERDICT r1 item 4): every mode combination composes
-    # (--store_every rides all of them) except the three below, each
-    # structural: a temperature ladder has no single plateau to detect, PT
-    # replicas already occupy the mesh chain axis, and auto-burn checkpoints
-    # would host-gather sharded state.
+    # (--store_every rides all of them; --pt --mesh --checkpoint and
+    # --auto_burn --mesh --checkpoint compose since r4 via the multi-host
+    # shard-checkpoint extras channel) except the two below, each
+    # structural: a temperature ladder has no single plateau to detect, and
+    # PT replicas already occupy the mesh chain axis.
     if args.auto_burn and args.pt >= 2:
         print("desman: --auto_burn is incompatible with --pt (the ladder's "
               "cold chain has no single plateau to detect)", file=sys.stderr)
         return 2
-    if args.mesh and args.pt >= 2 and (args.chains > 1 or args.checkpoint):
-        print("desman: --pt --mesh composes with neither --chains nor "
-              "--checkpoint (replicas already occupy the mesh chain axis)",
+    if args.mesh and args.pt >= 2 and args.chains > 1:
+        print("desman: --pt --mesh does not compose with --chains "
+              "(replicas already occupy the mesh chain axis)",
               file=sys.stderr)
-        return 2
-    if args.mesh and args.auto_burn and args.checkpoint:
-        print("desman: --auto_burn --mesh --checkpoint is not supported "
-              "(auto-burn snapshots host-gather; use a fixed -i burn for "
-              "long sharded runs)", file=sys.stderr)
         return 2
     from .ops import resolve_tau_sweep
 
     tau_sweep = resolve_tau_sweep(args.kernel)
+    if (getattr(tau_sweep, "needs_counts", False) and args.mesh):
+        print("desman: --kernel pallas_topk is single-device for now "
+              "(position-sharded tiles each need their own top-2 layout); "
+              "use --kernel pallas with --mesh", file=sys.stderr)
+        return 2
     mesh = None
     if args.mesh:
         from .parallel import make_mesh
@@ -172,7 +174,8 @@ def _desman(argv) -> int:
             from .run import run_pt_sharded
 
             run_pt_sharded(data, rc, mesh, tau_sweep=tau_sweep)
-        elif mesh is not None and args.checkpoint and args.chains <= 1:
+        elif (mesh is not None and args.checkpoint and args.chains <= 1
+                and not args.auto_burn):
             from .run import run_sharded_checkpointed
 
             run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)
@@ -493,7 +496,8 @@ def _multibin(argv) -> int:
     ap.add_argument("-s", "--seed", type=int, default=0)
     ap.add_argument("-e", "--eta_file", default=None,
                     help="tran_df.csv: fix eta for every bin")
-    ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--kernel", choices=["xla", "pallas", "pallas_topk"],
+                    default="xla")
     args = ap.parse_args(argv)
 
     from . import io
@@ -502,6 +506,11 @@ def _multibin(argv) -> int:
     from .sampler import SamplerConfig, tau_sweep_xla
 
     tau_sweep = resolve_tau_sweep(args.kernel) or tau_sweep_xla
+    if getattr(tau_sweep, "needs_counts", False):
+        print("desman-multibin: --kernel pallas_topk binds to one counts "
+              "tensor; unsupported for batched bins (use xla or pallas)",
+              file=sys.stderr)
+        return 2
     eta = io.read_eta_csv(args.eta_file) if args.eta_file else None
     burn = args.iterations // 2
     cfg = SamplerConfig(G=args.num_strains, burn=burn,

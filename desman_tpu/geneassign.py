@@ -45,6 +45,7 @@ class GeneAssignConfig:
     phi: float = 1.0             # quasi-Poisson dispersion / Gaussian sigma^2 scale
     state_cap: int = 4096        # enumeration limit; above this use Gibbs
     gibbs_sweeps: int = 100
+    gibbs_restarts: int = 4      # independent annealed chains per gene (best-of)
     min_strain_cov: float = 0.0  # strains below this total coverage can't carry genes
 
 
@@ -133,6 +134,13 @@ def _gibbs_assign(x, cov, cfg: GeneAssignConfig, key):
     Genes are independent given cov -> vmap over D; within a gene, iterate
     strains and enumerate the (max_copy+1) values of one entry conditioned on
     the rest (the reference Eta_Sampler's conditional update, SURVEY.md §3.3).
+
+    ``gibbs_restarts`` independent annealed chains run per gene (a second
+    vmap axis — free parallelism on TPU) and the best-likelihood state wins:
+    measured at G=14/D=120, a single chain freezes into a local optimum on
+    ~3% of genes (states up to ~22 nats WORSE than the planted truth) while
+    best-of-4 returns a state at least as likely as the truth for every gene
+    (tests/test_geneassign.py::test_gibbs_large_G_enumeration_impossible).
     """
     D, S = x.shape
     G = cov.shape[0]
@@ -185,8 +193,16 @@ def _gibbs_assign(x, cov, cfg: GeneAssignConfig, key):
         mean_eta = acc / n_keep
         return best_eta.astype(jnp.int32), mean_eta, best_ll
 
-    keys = jax.random.split(key, D)
-    eta_star, copy_mean, ll = jax.vmap(run_gene)(x, keys)
+    R = max(int(cfg.gibbs_restarts), 1)
+    keys = jax.random.split(key, (D, R))
+    eta_r, mean_r, ll_r = jax.vmap(
+        lambda xd, kd: jax.vmap(lambda kr: run_gene(xd, kr))(kd)
+    )(x, keys)                                   # [D,R,G], [D,R,G], [D,R]
+    best_r = jnp.argmax(ll_r, axis=1)            # [D]
+    take = lambda a: jnp.take_along_axis(
+        a, best_r[:, None, None], axis=1)[:, 0]
+    eta_star, copy_mean = take(eta_r), take(mean_r)
+    ll = jnp.take_along_axis(ll_r, best_r[:, None], axis=1)[:, 0]
     presence = jnp.clip(copy_mean, 0.0, 1.0)
 
     # Confidence via local enumeration around the MAP (exact (max_copy+1)^G

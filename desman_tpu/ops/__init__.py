@@ -1,19 +1,28 @@
 """Pallas TPU kernels for the sampler hot path."""
 
 from .tau_pallas import tau_sweep_pallas
+from .tau_topk import make_tau_sweep_topk
 
 
 def resolve_tau_sweep(kernel):
     """Kernel name -> tau_sweep fn (None = caller's default, the XLA path).
 
     Single source of truth for the CLI/pipeline ``kernel`` option; unknown
-    names raise instead of silently running the default.
+    names raise instead of silently running the default. ``pallas_topk``
+    returns a FACTORY (``needs_counts`` attribute set) that the runner
+    binds to the post-filter counts (run.py) — the compressed layout is a
+    static function of the data.
     """
     if kernel in (None, "", "xla"):
         return None
     if kernel == "pallas":
         return tau_sweep_pallas
-    raise ValueError(f"unknown tau kernel {kernel!r}; one of: xla, pallas")
+    if kernel == "pallas_topk":
+        factory = make_tau_sweep_topk
+        factory.needs_counts = True
+        return factory
+    raise ValueError(
+        f"unknown tau kernel {kernel!r}; one of: xla, pallas, pallas_topk")
 
 
-__all__ = ["tau_sweep_pallas", "resolve_tau_sweep"]
+__all__ = ["tau_sweep_pallas", "make_tau_sweep_topk", "resolve_tau_sweep"]

@@ -117,9 +117,16 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 
 def save_sharded(ckpt_dir: str, state: SamplerState, accum: SamplerAccum,
-                 it: int, trace: np.ndarray) -> None:
+                 it: int, trace: np.ndarray,
+                 extras: Optional[dict] = None) -> None:
     """Write one checkpoint step; every process stores only its addressable
-    shards. Crash-safe: the manifest rename is the commit point."""
+    shards. Crash-safe: the manifest rename is the commit point.
+
+    ``extras``: small host arrays/scalars that ride the snapshot (PT rung
+    vector + swap counters, auto-burn plateau-detector state — the
+    manifest-able scalars of VERDICT r3 missing #3). Written by process 0
+    only; everything here must be replicated-equivalent across processes.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     pid = jax.process_index()
 
@@ -140,6 +147,11 @@ def save_sharded(ckpt_dir: str, state: SamplerState, accum: SamplerAccum,
         tpath = os.path.join(ckpt_dir, f"trace_it{it}.npy")
         np.save(tpath + ".tmp.npy", np.asarray(trace, np.float32))
         os.replace(tpath + ".tmp.npy", tpath)
+        if extras:
+            epath = os.path.join(ckpt_dir, f"extras_it{it}.npz")
+            np.savez(epath + ".tmp.npz",
+                     **{k: np.asarray(v) for k, v in extras.items()})
+            os.replace(epath + ".tmp.npz", epath)
 
     _barrier(f"shard_ckpt_written_{it}")  # all shard files durable ...
     if pid == 0:                           # ... before the commit record
@@ -159,6 +171,19 @@ def save_sharded(ckpt_dir: str, state: SamplerState, accum: SamplerAccum,
         for old in glob.glob(os.path.join(ckpt_dir, "trace_it*.npy")):
             if not old.endswith(f"trace_it{it}.npy"):
                 os.remove(old)
+        for old in glob.glob(os.path.join(ckpt_dir, "extras_it*.npz")):
+            if not old.endswith(f"extras_it{it}.npz"):
+                os.remove(old)
+
+
+def load_extras_sharded(ckpt_dir: str) -> dict:
+    """Extras saved with the committed step ({} if none were stored)."""
+    it = latest_step(ckpt_dir)
+    epath = os.path.join(ckpt_dir, f"extras_it{it}.npz")
+    if it is None or not os.path.isfile(epath):
+        return {}
+    with np.load(epath) as z:
+        return {k: z[k] for k in z.files}
 
 
 _DRAW_FIELDS = ("tau", "gamma", "eta")

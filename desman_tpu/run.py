@@ -125,6 +125,9 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         raise ValueError("fix_tau requires tau_file")
 
     n = jnp.asarray(data.counts, jnp.float32)
+    if tau_sweep is not None and getattr(tau_sweep, "needs_counts", False):
+        # pallas_topk: bind the static top-2 layout to the post-filter counts
+        tau_sweep = tau_sweep(data.counts)
     from .profiling import device_trace
 
     t0 = time.time()
@@ -238,10 +241,14 @@ def run_pt_sharded(
     data: io.CountsData, rc: RunConfig, mesh, tau_sweep=None,
 ) -> SamplerResult:
     """Parallel tempering on a (chain, data) mesh (--pt + --mesh): replicas
-    shard over the chain axis, positions over the data axis."""
+    shard over the chain axis, positions over the data axis. With
+    rc.checkpoint_path the run checkpoints through the multi-host shard
+    scheme (--pt --mesh --checkpoint, VERDICT r3 missing #3)."""
     import jax.numpy as jnp
 
-    from .parallel import run_chain_pt_sharded
+    from .parallel import (
+        run_chain_pt_sharded, run_chain_pt_sharded_checkpointed,
+    )
     from .sampler import tau_sweep_xla
 
     data = prepare_data(data, rc.min_coverage, rc.n_positions, rc.seed)
@@ -251,12 +258,21 @@ def run_pt_sharded(
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
     tau_init = load_tau_init(rc.tau_file, data) if rc.tau_file else None
     t0 = time.time()
-    res = run_chain_pt_sharded(
-        data.counts, cfg, jax.random.PRNGKey(rc.seed),
-        n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp, mesh=mesh,
-        eta_init=eta_init, tau_init=tau_init,
-        tau_sweep=tau_sweep or tau_sweep_xla,
-    )
+    if rc.checkpoint_path:
+        res = run_chain_pt_sharded_checkpointed(
+            data.counts, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
+            checkpoint_every=rc.checkpoint_every,
+            n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp, mesh=mesh,
+            eta_init=eta_init, tau_init=tau_init,
+            tau_sweep=tau_sweep or tau_sweep_xla,
+        )
+    else:
+        res = run_chain_pt_sharded(
+            data.counts, cfg, jax.random.PRNGKey(rc.seed),
+            n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp, mesh=mesh,
+            eta_init=eta_init, tau_init=tau_init,
+            tau_sweep=tau_sweep or tau_sweep_xla,
+        )
     jax.block_until_ready(res.star_loglik)
     write_outputs(rc.out_dir, data, res, cfg, time.time() - t0,
                   seed=rc.seed)
@@ -295,6 +311,8 @@ def run_multi(
         raise ValueError("fix_tau requires tau_file")
 
     n = jnp.asarray(data.counts, jnp.float32)
+    if tau_sweep is not None and getattr(tau_sweep, "needs_counts", False):
+        tau_sweep = tau_sweep(data.counts)
     seeds = list(range(rc.seed, rc.seed + n_chains))
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}

@@ -39,6 +39,7 @@ def generate(
     gamma_alpha: float = 1.0,
     seed: int = 0,
     ensure_variant: bool = True,
+    max_alleles: int = NBASES,
 ) -> SynthTruth:
     """Sample a dataset from the model.
 
@@ -46,13 +47,30 @@ def generate(
     ensure_variant: resample tau rows where all strains agree, so every
     position is a true variant (matches the post-filter input the sampler
     sees in the reference pipeline).
+    max_alleles: distinct bases per position (default 4 = unconstrained).
+    ``max_alleles=2`` gives biallelic positions — the realistic regime for
+    point mutations on a strain phylogeny, where the top-2-compressed tau
+    kernel (ops/tau_topk.py) applies.
     """
     rng = np.random.default_rng(seed)
-    tau = rng.integers(0, NBASES, size=(V, G))
+    if max_alleles < NBASES:
+        # per-position allele palette; strains draw bases from it
+        palette = np.stack([
+            rng.permutation(NBASES)[:max_alleles] for _ in range(V)
+        ])                                                   # [V, A]
+        pick = rng.integers(0, max_alleles, size=(V, G))
+        tau = np.take_along_axis(palette, pick, axis=1)
+    else:
+        tau = rng.integers(0, NBASES, size=(V, G))
     if ensure_variant and G > 1:
         same = (tau == tau[:, :1]).all(axis=1)
         while same.any():
-            tau[same] = rng.integers(0, NBASES, size=(int(same.sum()), G))
+            m = int(same.sum())
+            if max_alleles < NBASES:
+                pick = rng.integers(0, max_alleles, size=(m, G))
+                tau[same] = np.take_along_axis(palette[same], pick, axis=1)
+            else:
+                tau[same] = rng.integers(0, NBASES, size=(m, G))
             same = (tau == tau[:, :1]).all(axis=1)
     gamma = rng.dirichlet(np.full(G, gamma_alpha), size=S)
     eta = make_eta(error_rate)

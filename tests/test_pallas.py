@@ -106,3 +106,108 @@ def test_sharded_pallas_matches_sharded_xla():
     assert agree > 0.99, f"tau agreement {agree}"
     np.testing.assert_allclose(np.asarray(ref.loglik_trace),
                                np.asarray(got.loglik_trace), rtol=1e-4)
+
+
+# ---- observed-base-compressed kernel (ops/tau_topk.py, VERDICT r3 next #2)
+
+
+def _biallelic(V=96, S=12, G=3, seed=0):
+    """nnz<=2 data: biallelic positions, zero sequencing error."""
+    t = synth.generate(V=V, S=S, G=G, coverage=50.0, seed=seed,
+                       error_rate=0.0, max_alleles=2)
+    return t
+
+
+def test_compress_counts_roundtrip():
+    from desman_tpu.ops.tau_topk import compress_counts
+
+    t = _biallelic()
+    n = t.data.counts
+    V, S, _ = n.shape
+    n_val, b_idx = compress_counts(n)
+    # scatter back: must reproduce the original counts exactly
+    rec = np.zeros_like(n, dtype=np.float32)
+    for k in range(2):
+        val = n_val[:, k * S:(k + 1) * S]
+        idx = b_idx[:, k * S:(k + 1) * S]
+        np.put_along_axis(
+            rec, idx[:, :, None], val[:, :, None]
+            + np.take_along_axis(rec, idx[:, :, None], axis=2), axis=2)
+    assert np.array_equal(rec, n.astype(np.float32))
+
+
+def test_compress_counts_rejects_dense():
+    from desman_tpu.ops.tau_topk import compress_counts
+
+    t = synth.generate(V=64, S=8, G=6, coverage=80.0, seed=0)  # 3-4 base cells
+    with pytest.raises(ValueError, match="observed"):
+        compress_counts(t.data.counts)
+
+
+def test_topk_matches_xla_single_sweep():
+    from desman_tpu.ops.tau_topk import make_tau_sweep_topk
+
+    t = _biallelic()
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    V, S, _ = n.shape
+    G = 3
+    rng = np.random.default_rng(0)
+    tau = jnp.asarray(rng.integers(0, 4, size=(V, G)), jnp.int32)
+    gamma = jnp.asarray(t.gamma, jnp.float32)
+    eta = jnp.asarray(synth.make_eta(0.01), jnp.float32)  # non-trivial eta
+    mix = mixture(one_hot_tau(tau), gamma)
+    key = jax.random.PRNGKey(3)
+
+    tau_x, mix_x = tau_sweep_xla(n, tau, mix, gamma, eta, key)
+    sweep = make_tau_sweep_topk(t.data.counts, interpret=INTERPRET)
+    tau_c, mix_c = sweep(n, tau, mix, gamma, eta, key)
+    agree = (np.asarray(tau_x) == np.asarray(tau_c)).mean()
+    assert agree > 0.99, f"tau agreement {agree}"
+    np.testing.assert_allclose(np.asarray(mix_c), np.asarray(mix_x),
+                               rtol=1e-4, atol=1e-5)
+    # kernel's mix must equal the mixture implied by its own tau
+    want = mixture(one_hot_tau(tau_c), gamma)
+    np.testing.assert_allclose(np.asarray(mix_c), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_topk_full_chain_agrees():
+    """Whole-chain statistical equivalence on nnz<=2 data: same star
+    haplotypes and star loglik as the XLA path (run-to-run trajectories may
+    diverge at f32 rounding ties; the posterior mode must not)."""
+    from desman_tpu.ops.tau_topk import make_tau_sweep_topk
+    from desman_tpu.sampler import SamplerConfig, run_chain
+    from desman_tpu import utils
+
+    t = _biallelic(V=80, S=10, G=3, seed=2)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=3, burn=40, samples=40, nmf_iters=100)
+    sweep = make_tau_sweep_topk(t.data.counts, interpret=INTERPRET)
+    res_c = run_chain(n, cfg, jax.random.PRNGKey(0), tau_sweep=sweep)
+    res_x = run_chain(n, cfg, jax.random.PRNGKey(0))
+    # both recover the generating truth exactly on this easy data
+    d_c = utils.snp_distance_perm(t.tau_idx, np.asarray(res_c.tau_star))
+    d_x = utils.snp_distance_perm(t.tau_idx, np.asarray(res_x.tau_star))
+    assert d_c == d_x == 0, (d_c, d_x)
+    np.testing.assert_allclose(float(res_c.star_loglik),
+                               float(res_x.star_loglik), rtol=1e-5)
+
+
+def test_topk_cli(tmp_path):
+    """--kernel pallas_topk end-to-end through the CLI (factory binding in
+    run.py), and the --mesh rejection."""
+    import os
+
+    from desman_tpu import io
+    from desman_tpu.cli import main
+
+    t = _biallelic(V=60, S=8, G=2, seed=1)
+    csv = str(tmp_path / "c.csv")
+    io.write_counts_csv(csv, t.data)
+    out = str(tmp_path / "out")
+    rc = main(["desman", csv, "-g", "2", "-o", out, "-i", "20",
+               "--kernel", "pallas_topk"])
+    assert rc == 0 and os.path.exists(os.path.join(out, "fit.txt"))
+    assert main(["desman", csv, "-g", "2", "-o", str(tmp_path / "o2"),
+                 "-i", "20", "--kernel", "pallas_topk",
+                 "--mesh", "2x4"]) == 2

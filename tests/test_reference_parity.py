@@ -197,3 +197,108 @@ def test_north_star_parity(tmp_path):
     assert dist == 0, "north star: star haplotypes must match bit-identically"
     gamma_ours = np.asarray(ours.gamma_star)[:, list(perm)]
     assert np.max(np.abs(gamma_ours - gamma_ref)) < 1e-3
+
+
+def _try_run_script(script, args, timeout=1800):
+    """Execute a reference script with the mount on PYTHONPATH.
+    Returns (ok, reason_or_stdout)."""
+    env = dict(os.environ)
+    pkg_root = os.path.dirname(os.path.dirname(script))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [sys.executable, script, *map(str, args)]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env)
+    except (subprocess.TimeoutExpired, OSError) as e:
+        return False, f"{script} failed to execute: {e}"
+    if r.returncode != 0:
+        return False, f"{script} exited {r.returncode}: {r.stderr[-400:]}"
+    return True, r.stdout
+
+
+@needs_mount
+def test_filter_parity(tmp_path):
+    """SURVEY §9.6 (VERDICT r3 next #8): run the reference's variant filter
+    on TestData and ours on the same CSV; the selected-position set must
+    agree (small symmetric difference tolerated at decision boundaries) and
+    the fitted error matrix tran_df must match to 1e-2."""
+    counts = _find("*testdata*.csv", "*test_data*.csv", "*contig*.csv")
+    if counts is None:
+        pytest.skip("no TestData-like counts CSV in the mount")
+    script = _find("*scripts/variant_filter.py", "*variant_filter*.py")
+    if script is None:
+        pytest.skip("no Variant_Filter script in the mount")
+
+    stub = str(tmp_path / "ref_")
+    ok, why = _try_run_script(script, [counts, "-o", stub])
+    if not ok:
+        pytest.skip(why)
+
+    from desman_tpu import io
+    from desman_tpu.filter import filter_variants
+
+    data = io.read_counts_csv(counts)
+    ours = filter_variants(data)
+
+    ref_sel = glob.glob(stub + "*sel_var*.csv")
+    assert ref_sel, f"reference filter wrote no sel_var: {os.listdir(tmp_path)}"
+    ref_positions = {
+        (str(c), int(p)) for c, p in zip(
+            *io.read_selected_positions(ref_sel[0]))
+    } if hasattr(io, "read_selected_positions") else None
+    if ref_positions is None:
+        import pandas as pd
+
+        df = pd.read_csv(ref_sel[0])
+        ref_positions = set(zip(df.iloc[:, 0].astype(str),
+                                df.iloc[:, 1].astype(int)))
+    our_positions = {
+        (str(data.contigs[i]), int(data.positions[i]))
+        for i in np.flatnonzero(ours.selected)
+    }
+    sym = ref_positions ^ our_positions
+    denom = max(len(ref_positions | our_positions), 1)
+    assert len(sym) / denom < 0.05, (
+        f"selected-variant sets differ on {len(sym)}/{denom} positions")
+
+    ref_eta_files = glob.glob(stub + "*tran_df*.csv")
+    if ref_eta_files:
+        eta_ref = io.read_eta_csv(ref_eta_files[0])
+        assert np.max(np.abs(eta_ref - ours.eta)) < 1e-2
+
+
+@needs_mount
+def test_resolvenhap_parity(tmp_path):
+    """SURVEY §9.7 (VERDICT r3 next #8): the selection rule in
+    model_selection.resolve_nhap is an [M] invention — validate it against
+    the reference's resolvenhap.py on an identical run grid: run OUR grid
+    (reference-format fit.txt + output dirs), hand the dirs to the
+    reference's script, and compare the (G, best run) decision."""
+    counts = _find("*testdata*.csv", "*test_data*.csv", "*contig*.csv")
+    if counts is None:
+        pytest.skip("no TestData-like counts CSV in the mount")
+    script = _find("*scripts/resolvenhap.py", "*resolvenhap*.py")
+    if script is None:
+        pytest.skip("no resolvenhap script in the mount")
+
+    from desman_tpu import io
+    from desman_tpu.model_selection import fit_grid, resolve_nhap
+
+    data = io.read_counts_csv(counts)
+    records = fit_grid(
+        data.counts, g_values=[1, 2, 3, 4, 5, 6], seeds=[0, 1],
+        iterations=100, out_stub=str(tmp_path / "run"), data=data,
+    )
+    ours = resolve_nhap(records)
+
+    ok, out = _try_run_script(script, [str(tmp_path / "run") + "*"])
+    if not ok:
+        pytest.skip(out)
+    # reference emits a CSV-ish summary line starting with the chosen G
+    m = re.search(r"^(\d+)[,\s]", out.strip().splitlines()[-1])
+    assert m, f"cannot parse reference resolvenhap output: {out[-400:]}"
+    ref_G = int(m.group(1))
+    print(f"selection: ours G={ours.G}, reference G={ref_G}")
+    assert ours.G == ref_G, (
+        "selection rule disagrees with the reference on an identical grid — "
+        "adapt model_selection.resolve_nhap's dev_cutoff/unc_cutoff")

@@ -158,3 +158,49 @@ def test_store_samples_thinned(small_synth):
         run_chain(n, SamplerConfig(G=2, burn=4, samples=10, nmf_iters=30,
                                    store_samples=True, store_thin=4),
                   jax.random.PRNGKey(0))
+
+
+def test_nmf_is_the_structured_ntf(small_synth):
+    """The 2-D KL-NMF of the [(v,b), S] unfolding IS the rank-G structured
+    NTF of the [V,S,4] frequency tensor (VERDICT r3 missing #4): the tensor
+    form's multiplicative KL updates
+
+        t[v,g,b] <- t * (sum_s h[g,s] R[v,s,b]) / sum_s h[g,s]
+        h[g,s]   <- h * (sum_vb t[v,g,b] R[v,s,b]) / sum_vb t[v,g,b]
+        R = F / (sum_g t[v,g,b] h[g,s])
+
+    reproduce nmf.py's W/H trajectory exactly under the reshape
+    t = W.reshape(V, 4, G).transpose(0, 2, 1)."""
+    from desman_tpu.nmf import _kl_updates
+
+    t = small_synth
+    counts = np.asarray(t.data.counts, np.float64)
+    V, S, B = counts.shape
+    G = 3
+    cov = np.maximum(counts.sum(axis=2, keepdims=True), 1.0)
+    freq = counts / cov                                     # [V,S,4]
+    F2 = np.transpose(freq, (0, 2, 1)).reshape(V * B, S)    # [(v,b), s]
+
+    rng = np.random.default_rng(0)
+    W0 = rng.uniform(0.1, 1.0, size=(V * B, G))
+    H0 = rng.uniform(0.1, 1.0, size=(G, S))
+
+    # matrix form (the implementation under test), few iters, f64
+    W, H = _kl_updates(jnp.asarray(F2), jnp.asarray(W0), jnp.asarray(H0), 5)
+    W, H = np.asarray(W, np.float64), np.asarray(H, np.float64)
+
+    # tensor form, same init, same iteration structure (H first, then W)
+    tg = W0.reshape(V, B, G).transpose(0, 2, 1).copy()      # t[v,g,b]
+    h = H0.copy()
+    eps = 1e-9
+    for _ in range(5):
+        M = np.maximum(np.einsum("vgb,gs->vsb", tg, h), eps)
+        h = h * np.einsum("vgb,vsb->gs", tg, freq / M) / np.maximum(
+            tg.sum(axis=(0, 2))[:, None], eps)
+        M = np.maximum(np.einsum("vgb,gs->vsb", tg, h), eps)
+        tg = tg * np.einsum("gs,vsb->vgb", h, freq / M) / np.maximum(
+            h.sum(axis=1)[None, :, None], eps)
+
+    W_from_tensor = tg.transpose(0, 2, 1).reshape(V * B, G)
+    np.testing.assert_allclose(W, W_from_tensor, rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(H, h, rtol=5e-5, atol=1e-8)
