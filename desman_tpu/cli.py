@@ -97,10 +97,11 @@ def _desman(argv) -> int:
     ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
                     help="shard over a device mesh, e.g. 2x4 (chain x "
                     "position axes); requires --chains >= chain axis")
-    ap.add_argument("--eta_update", choices=["rows", "joint"], default="rows",
-                    help="error-matrix MH: 4 per-row updates (reference "
-                    "semantics) or one blocked update (1 collective/sweep "
-                    "on a mesh — use for small V/device)")
+    ap.add_argument("--eta_update", choices=["rows", "joint"], default="joint",
+                    help="error-matrix MH: one blocked update (default — 1 "
+                    "likelihood pass / 1 collective per sweep) or 4 per-row "
+                    "updates (the reference's update shape; same stationary "
+                    "distribution)")
     ap.add_argument("--store_every", type=int, default=0, metavar="K",
                     help="write every K-th post-burn (tau,gamma,eta) draw "
                     "to <out>/draws.npz (K must divide the sampling "

@@ -191,17 +191,27 @@ def from_bmajor(x, S):
 
 
 def tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=1.0, interpret=False,
-                     fast_log=False):
+                     fast_log=False, swap_key=None, swap_beta=1.0):
     """Drop-in replacement for sampler.tau_sweep_xla (same signature/PRNG).
 
     Handles layout conversion and position-padding; for best performance V
     should be a multiple of 512 (the wrapper pads with zero-coverage rows,
     which are likelihood-neutral).
+
+    swap_key (optional): run the strain-pair swap move (sampler.
+    tau_swap_move semantics, ops/swap_pallas kernel) as an epilogue on the
+    base-major tiles before converting back — saves the XLA swap's extra
+    [V,S,4] HBM round-trips (~0.3 ms/sweep at the north-star config).
+    make_sweep_fn uses this via the ``handles_swap`` attribute.
     """
     G = tau.shape[1]
     gz = draw_gumbel(key, n.shape[0], G, temp)
     return tau_sweep_pallas_from_gz(n, tau, mix, gamma, eta, gz,
-                                    interpret=interpret, fast_log=fast_log)
+                                    interpret=interpret, fast_log=fast_log,
+                                    swap_key=swap_key, swap_beta=swap_beta)
+
+
+tau_sweep_pallas.handles_swap = True
 
 
 def draw_gumbel(key, V: int, G: int, temp=1.0):
@@ -216,9 +226,16 @@ def draw_gumbel(key, V: int, G: int, temp=1.0):
 
 
 def tau_sweep_pallas_from_gz(n, tau, mix, gamma, eta, gz, interpret=False,
-                             fast_log=False):
-    """Kernel invocation with pre-drawn Gumbel noise (layout + padding)."""
+                             fast_log=False, swap_key=None, swap_beta=1.0,
+                             swap_proposal=None):
+    """Kernel invocation with pre-drawn Gumbel noise (layout + padding).
+
+    swap_proposal: optional pre-drawn (g, h, logu[V]) swap move — sharded
+    callers draw it globally outside shard_map (parallel/sharded.py), the
+    same way gz is pre-drawn. Mutually exclusive with swap_key.
+    """
     V, S, _ = n.shape
+    G = tau.shape[1]
 
     Vt = min(_round_up(V, 8), _tile_rows(S))
     Vp = _round_up(V, Vt)
@@ -239,6 +256,22 @@ def tau_sweep_pallas_from_gz(n, tau, mix, gamma, eta, gz, interpret=False,
         n_bm, mix_bm, tau, gz, gamma.astype(jnp.float32),
         eta.astype(jnp.float32), interpret=interpret, fast_log=fast_log,
     )
+    if swap_key is not None or swap_proposal is not None:
+        from .swap_pallas import draw_swap_proposal, swap_bmajor
+
+        if swap_proposal is not None:
+            g_s, h_s, logu = swap_proposal
+        else:
+            # proposal drawn at the UNPADDED V (stream parity with the XLA
+            # path); padded rows get +inf thresholds so they never accept
+            g_s, h_s, logu = draw_swap_proposal(swap_key, V, G)
+        if pad:
+            logu = jnp.pad(logu, (0, pad), constant_values=jnp.inf)
+        tau_out, mix_out = swap_bmajor(
+            n_bm, tau_out, mix_out, gamma.astype(jnp.float32),
+            eta.astype(jnp.float32), g_s, h_s, logu, beta=swap_beta,
+            interpret=interpret,
+        )
     if pad:
         tau_out = tau_out[:V]
         mix_out = mix_out[:V]

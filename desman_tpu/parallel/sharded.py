@@ -41,10 +41,18 @@ def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
     """
     from functools import partial
 
+    from ..ops.swap_pallas import draw_swap_proposal
     from ..ops.tau_pallas import draw_gumbel, tau_sweep_pallas_from_gz
 
     kernel = partial(tau_sweep_pallas_from_gz, interpret=interpret)
-    in_specs = (
+
+    def kernel_swap(n, tau, mix, gamma, eta, gz, g_s, h_s, logu, beta):
+        return tau_sweep_pallas_from_gz(
+            n, tau, mix, gamma, eta, gz, interpret=interpret,
+            swap_beta=beta, swap_proposal=(g_s, h_s, logu),
+        )
+
+    base_specs = (
         P(DATA_AXIS, None, None),   # n [V,S,4]
         P(DATA_AXIS, None),         # tau [V,G]
         P(DATA_AXIS, None, None),   # mix [V,S,4]
@@ -52,25 +60,43 @@ def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
         P(),                        # eta
         P(DATA_AXIS, None),         # gz [V, G*4]
     )
+    swap_specs = base_specs + (
+        P(),                        # swap strain g (scalar)
+        P(),                        # swap strain h
+        P(DATA_AXIS),               # logu [V]
+        P(),                        # beta (scalar)
+    )
     out_specs = (P(DATA_AXIS, None), P(DATA_AXIS, None, None))
-    try:
-        sharded_kernel = jax.shard_map(
-            kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-    except (AttributeError, TypeError):  # pre-0.9 API
-        from jax.experimental.shard_map import shard_map
 
-        sharded_kernel = shard_map(
-            kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
+    def wrap(fn, in_specs):
+        try:
+            return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+        except (AttributeError, TypeError):  # pre-0.9 API
+            from jax.experimental.shard_map import shard_map
 
-    def sweep(n, tau, mix, gamma, eta, key, temp=1.0):
-        gz = draw_gumbel(key, n.shape[0], tau.shape[1], temp)
-        return sharded_kernel(n, tau, mix, gamma.astype(jnp.float32),
-                              eta.astype(jnp.float32), gz)
+            return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
 
+    sharded_kernel = wrap(kernel, base_specs)
+    sharded_kernel_swap = wrap(kernel_swap, swap_specs)
+
+    def sweep(n, tau, mix, gamma, eta, key, temp=1.0, swap_key=None,
+              swap_beta=1.0):
+        V, G = n.shape[0], tau.shape[1]
+        gz = draw_gumbel(key, V, G, temp)
+        gamma = gamma.astype(jnp.float32)
+        eta = eta.astype(jnp.float32)
+        if swap_key is None:
+            return sharded_kernel(n, tau, mix, gamma, eta, gz)
+        # swap proposal drawn globally (partitionable PRNG), like gz, so
+        # trajectories stay mesh-shape-invariant; the move itself is
+        # position-local (no collectives)
+        g_s, h_s, logu = draw_swap_proposal(swap_key, V, G)
+        return sharded_kernel_swap(n, tau, mix, gamma, eta, gz, g_s, h_s,
+                                   logu, jnp.float32(swap_beta))
+
+    sweep.handles_swap = True
     return sweep
 
 

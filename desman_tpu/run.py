@@ -50,7 +50,7 @@ class RunConfig:
     auto_burn: bool = False                 # plateau-detected burn-in length
     auto_tol: float = 1e-5                  # relative plateau tolerance
     auto_max_burn: int = 2000
-    eta_update: str = "rows"                # "rows" | "joint" (1 psum/sweep)
+    eta_update: str = "joint"               # "joint" (1 psum/sweep) | "rows"
     store_every: int = 0                    # >0: write every k-th post-burn draw
 
 

@@ -61,7 +61,11 @@ class SamplerConfig:
     eta_prior_diag: float = 10.0
     eta_prior_off: float = 1.0
     fix_eta: bool = False
-    eta_update: str = "rows"      # "rows" (4 per-row MH) | "joint" (1 blocked MH)
+    # "joint" (1 blocked MH on the whole 4x4, default: one likelihood pass /
+    # one psum per sweep — 0.26 ms/sweep cheaper on chip and the preferred
+    # mesh mode, docs/SCALING.md) | "rows" (4 sequential per-row MH — the
+    # reference's update shape, SURVEY.md §0.1 [M]; same stationary dist.)
+    eta_update: str = "joint"
     fix_gamma: bool = False       # freeze abundances (known mixtures / tests)
     fix_tau: bool = False         # reference -f: freeze haplotypes, fit gamma/eta
     store_samples: bool = False   # keep post-burn (tau,gamma,eta) draws
@@ -211,18 +215,28 @@ def tau_swap_move(n, tau, mix, gamma, eta, key, beta=1.0):
     oh_h = one_hot_tau(tau_h)
     gam_g = jnp.take(gamma, g, axis=1)                     # [S]
     gam_h = jnp.take(gamma, h, axis=1)
-    delta = (gam_g - gam_h)[None, :, None] * (oh_h - oh_g)[:, None, :]
-    mix_prop = mix + delta                                 # [V,S,4]
 
-    ll_old = heinsum("vsb->v", n * safe_log(heinsum("vsa,ab->vsb", mix, eta)))
-    ll_new = heinsum("vsb->v", n * safe_log(heinsum("vsa,ab->vsb", mix_prop, eta)))
-    accept = safe_log(jax.random.uniform(k_u, (V,))) < beta * (ll_new - ll_old)
+    # The swap proposal is rank-1 in the mixture: mix_prop = mix + dgam[s] *
+    # doh[v,a], so p_prop = p + dgam[s] * w[v,b] with w = doh @ eta — the MH
+    # log-ratio is ONE fused pass of sum_sb n * (log p_prop - log p) with
+    # per-element correlated rounding (each term is a difference of logs of
+    # nearby values, so f32 noise on the ratio is ~1e-3 nats instead of the
+    # difference-of-two-big-sums noise), and mix_prop is never materialized.
+    dgam = gam_g - gam_h                                   # [S]
+    doh = oh_h - oh_g                                      # [V,4]
+    w = heinsum("va,ab->vb", doh, eta)                     # [V,4]
+    p = heinsum("vsa,ab->vsb", mix, eta)                   # [V,S,4]
+    p_prop = p + dgam[None, :, None] * w[:, None, :]
+    dll = heinsum("vsb->v", n * (safe_log(p_prop) - safe_log(p)))
+    accept = safe_log(jax.random.uniform(k_u, (V,))) < beta * dll
 
     new_tau_g = jnp.where(accept, tau_h, tau_g)
     new_tau_h = jnp.where(accept, tau_g, tau_h)
     tau = _set_col(tau, g, new_tau_g)
     tau = _set_col(tau, h, new_tau_h)
-    mix = jnp.where(accept[:, None, None], mix_prop, mix)
+    mix = mix + jnp.where(accept, 1.0, 0.0)[:, None, None] * (
+        dgam[None, :, None] * doh[:, None, :]
+    )
     return tau, mix
 
 
@@ -362,6 +376,16 @@ def eta_step_joint(cfg: SamplerConfig, n, mix, eta, loglik, key, kappa=None,
 # full sweep + scan
 # --------------------------------------------------------------------------
 
+def _handles_swap(fn) -> bool:
+    """True when the tau_sweep fn runs the swap move itself (pallas
+    epilogue) — looks through functools.partial wrappers."""
+    while fn is not None:
+        if getattr(fn, "handles_swap", False):
+            return True
+        fn = getattr(fn, "func", None)
+    return False
+
+
 def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
     """Build the (state, accum, sweep_idx) -> (state, accum, loglik) step.
 
@@ -397,15 +421,26 @@ def make_sweep_fn(cfg: SamplerConfig, tau_sweep=tau_sweep_xla):
                     )
                 else:
                     temp = 1.0
-            tau, mix = tau_sweep(
-                n, state.tau, state.mix, state.gamma, state.eta, k_tau,
-                temp=temp,
-            )
-            if cfg.swap_moves and cfg.G > 1:
-                tau, mix = tau_swap_move(
-                    n, tau, mix, state.gamma, state.eta,
-                    jax.random.fold_in(k_tau, 12345), beta=beta,
+            do_swap = cfg.swap_moves and cfg.G > 1
+            if do_swap and _handles_swap(tau_sweep):
+                # fused path: the swap runs as a kernel epilogue on the
+                # base-major tiles (ops/swap_pallas) — same proposal stream
+                # and MH rule as tau_swap_move, minus its HBM round-trips
+                tau, mix = tau_sweep(
+                    n, state.tau, state.mix, state.gamma, state.eta, k_tau,
+                    temp=temp, swap_key=jax.random.fold_in(k_tau, 12345),
+                    swap_beta=beta,
                 )
+            else:
+                tau, mix = tau_sweep(
+                    n, state.tau, state.mix, state.gamma, state.eta, k_tau,
+                    temp=temp,
+                )
+                if do_swap:
+                    tau, mix = tau_swap_move(
+                        n, tau, mix, state.gamma, state.eta,
+                        jax.random.fold_in(k_tau, 12345), beta=beta,
+                    )
         if cfg.fix_gamma:
             gamma, acc_g = state.gamma, jnp.float32(0.0)
             loglik = _loglik(n, mix, state.eta)

@@ -74,30 +74,63 @@ def main() -> int:
     np.testing.assert_allclose(np.asarray(mix_p), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
 
+    # --- 1.5 fused swap epilogue vs the XLA swap (ops/swap_pallas) ---
+    from desman_tpu.sampler import tau_swap_move
+
+    ks = jax.random.fold_in(key, 12345)
+    ta, ma = tau_swap_move(n, tau_p, mix_p, gamma0, eta0, ks)
+    tb, mb = tau_sweep_pallas(n, tau0, mix0, gamma0, eta0, key, swap_key=ks)
+    swap_agree = float((np.asarray(ta) == np.asarray(tb)).mean())
+    if swap_agree <= 0.999:  # knife-edge log-ratio ties only
+        print(f"tpu_smoke: FAIL fused-swap agreement {swap_agree:.5f}",
+              file=sys.stderr)
+        return 1
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(ma),
+                               rtol=1e-4, atol=1e-5)
+
     # --- 2. full-chain trajectory equivalence ---
+    # strict comparison runs BOTH chains with the XLA swap move (the fused
+    # kernel swap's reduction order differs, so a knife-edge accept could
+    # legitimately fork trajectories); the production fused path is then
+    # held to the same star/loglik gates against the XLA chain.
+    def pallas_unfused(n, tau, mix, gamma, eta, key, temp=1.0):
+        return tau_sweep_pallas(n, tau, mix, gamma, eta, key, temp=temp)
+
     cfg = SamplerConfig(G=G, burn=30, samples=30, nmf_iters=50)
     ck = jax.random.PRNGKey(7)
-    t0 = time.time()
-    res_p = run_chain(n, cfg, ck, tau_sweep=tau_sweep_pallas)
-    ll_p = np.asarray(res_p.loglik_trace)
-    t_pallas = time.time() - t0
     res_x = run_chain(n, cfg, ck, tau_sweep=tau_sweep_xla)
     ll_x = np.asarray(res_x.loglik_trace)
+    res_u = run_chain(n, cfg, ck, tau_sweep=pallas_unfused)
+    ll_u = np.asarray(res_u.loglik_trace)
+    t0 = time.time()
+    res_p = run_chain(n, cfg, ck, tau_sweep=tau_sweep_pallas)  # fused swap
+    ll_p = np.asarray(res_p.loglik_trace)
+    t_pallas = time.time() - t0
+
     star_agree = float(
+        (np.asarray(res_u.tau_star) == np.asarray(res_x.tau_star)).mean()
+    )
+    rel = abs(float(ll_u[-1]) - float(ll_x[-1])) / abs(float(ll_x[-1]))
+    star_fused = float(
         (np.asarray(res_p.tau_star) == np.asarray(res_x.tau_star)).mean()
     )
-    rel = abs(float(ll_p[-1]) - float(ll_x[-1])) / abs(float(ll_x[-1]))
-    if star_agree <= 0.99 or rel > 1e-4 or not np.isfinite(ll_p).all():
+    rel_fused = abs(float(ll_p[-1]) - float(ll_x[-1])) / abs(float(ll_x[-1]))
+    if (star_agree <= 0.99 or rel > 1e-4 or not np.isfinite(ll_p).all()
+            or star_fused <= 0.99 or rel_fused > 1e-4):
         print(f"tpu_smoke: FAIL chain star_agree={star_agree:.4f} "
-              f"final_ll_rel={rel:.2e}", file=sys.stderr)
+              f"final_ll_rel={rel:.2e} star_fused={star_fused:.4f} "
+              f"final_ll_rel_fused={rel_fused:.2e}", file=sys.stderr)
         return 1
 
     print(json.dumps({
         "check": "tpu_smoke_pallas_eq_xla",
         "device": str(dev),
         "sweep_agreement": round(sweep_agree, 5),
+        "swap_agreement": round(swap_agree, 5),
         "star_agreement": round(star_agree, 5),
+        "star_agreement_fused_swap": round(star_fused, 5),
         "final_loglik_rel_diff": float(f"{rel:.3e}"),
+        "final_loglik_rel_diff_fused": float(f"{rel_fused:.3e}"),
         "pallas_chain_s": round(t_pallas, 2),
         "pass": True,
     }))

@@ -211,3 +211,64 @@ def test_topk_cli(tmp_path):
     assert main(["desman", csv, "-g", "2", "-o", str(tmp_path / "o2"),
                  "-i", "20", "--kernel", "pallas_topk",
                  "--mesh", "2x4"]) == 2
+
+
+# --------------------------------------------------------------------------
+# fused swap epilogue (ops/swap_pallas)
+# --------------------------------------------------------------------------
+
+def test_fused_swap_matches_xla_swap():
+    """tau_sweep_pallas(swap_key=...) == pallas sweep + tau_swap_move.
+
+    Same proposal stream (draw_swap_proposal); only the MH log-ratio's
+    reduction order differs, so decisions agree except at knife-edge
+    proposals — none expected on random data across 8 keys. Odd V
+    exercises the padding path (padded rows must never accept)."""
+    from desman_tpu.sampler import tau_swap_move
+
+    n, tau, mix, gamma, eta = _setup(V=203, S=12, G=5, seed=4)
+    for i in range(8):
+        k = jax.random.PRNGKey(400 + i)
+        ks = jax.random.fold_in(k, 12345)
+        ta, ma = tau_sweep_pallas(n, tau, mix, gamma, eta, k,
+                                  interpret=INTERPRET)
+        ta, ma = tau_swap_move(n, ta, ma, gamma, eta, ks, beta=0.8)
+        tb, mb = tau_sweep_pallas(n, tau, mix, gamma, eta, k,
+                                  interpret=INTERPRET, swap_key=ks,
+                                  swap_beta=0.8)
+        agree = (np.asarray(ta) == np.asarray(tb)).mean()
+        assert agree == 1.0, f"key {i}: tau agreement {agree}"
+        np.testing.assert_allclose(np.asarray(mb), np.asarray(ma),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_swap_used_by_sweep_fn():
+    """make_sweep_fn routes through the fused epilogue for the pallas
+    kernel (handles_swap) and produces the same chain as the explicit
+    unfused composition."""
+    from functools import partial
+
+    from desman_tpu.sampler import (
+        SamplerConfig, init_accum, init_state, make_sweep_fn, tau_swap_move,
+    )
+
+    n, tau, mix, gamma, eta = _setup(V=96, S=8, G=4, seed=6)
+    cfg = SamplerConfig(G=4, burn=2, samples=4, nmf_iters=20)
+    sweep = make_sweep_fn(cfg, tau_sweep=partial(tau_sweep_pallas,
+                                                 interpret=INTERPRET))
+    state = init_state(n, cfg, jax.random.PRNGKey(9))
+    accum = init_accum(96, 8, 4)
+    st, ac = state, accum
+    for it in range(6):
+        st, ac, ll = sweep(n, st, ac, jnp.int32(it))
+    assert np.isfinite(float(ll))
+    # unfused reference composition for one sweep from the same state
+    k = jax.random.fold_in(state.key, 0)
+    k_tau, _, _ = jax.random.split(k, 3)
+    t_ref, m_ref = tau_sweep_pallas(
+        n, state.tau, state.mix, state.gamma, state.eta, k_tau,
+        temp=jnp.float32(3.0), interpret=INTERPRET)
+    t_ref, m_ref = tau_swap_move(n, t_ref, m_ref, state.gamma, state.eta,
+                                 jax.random.fold_in(k_tau, 12345))
+    st1, _, _ = sweep(n, state, accum, jnp.int32(0))
+    assert (np.asarray(st1.tau) == np.asarray(t_ref)).all()
