@@ -44,13 +44,19 @@ def run_fingerprint(data_digest: str, cfg: SamplerConfig, seed: int) -> str:
 
     Stored in metrics.json and verified before elastic resume reuses a
     directory (VERDICT r3 weak #2: existence checks alone let a rerun with a
-    different -i / kappa / eta silently serve stale results).
+    different -i / kappa / eta silently serve stale results). Hashes EVERY
+    SamplerConfig field — any of them (eta_update, swap_moves, annealing,
+    adaptation, draw storage) changes the trajectory or the outputs, so a
+    partial field list would rot each time the config grows (it did:
+    the r3 list predated the r4 eta_update default flip).
     """
+    import dataclasses
     import hashlib
 
-    key = (data_digest, cfg.G, cfg.burn, cfg.samples,
-           float(cfg.kappa_gamma), float(cfg.kappa_eta), bool(cfg.fix_eta),
-           int(seed))
+    key = (data_digest, tuple(sorted(
+        (f.name, repr(getattr(cfg, f.name)))
+        for f in dataclasses.fields(cfg)
+    )), int(seed))
     return hashlib.sha256(repr(key).encode()).hexdigest()[:16]
 
 

@@ -216,8 +216,16 @@ def make_tau_sweep_topk(counts: np.ndarray, interpret=None):
         b_idx_h = np.pad(b_idx_h, ((0, pad), (0, 0)))
     n_val = jnp.asarray(n_val_h)
     b_idx = jnp.asarray(b_idx_h)
+    # static base-major counts for the fused swap epilogue (ops/swap_pallas)
+    n_bm_h = np.pad(
+        np.transpose(np.asarray(counts, np.float32), (0, 2, 1)).reshape(
+            V, NBASES * S),
+        ((0, pad), (0, 0)),
+    )
+    n_bm = jnp.asarray(n_bm_h)
 
-    def tau_sweep_topk(n, tau, mix, gamma, eta, key, temp=1.0):
+    def tau_sweep_topk(n, tau, mix, gamma, eta, key, temp=1.0,
+                       swap_key=None, swap_beta=1.0):
         G = tau.shape[1]
         gz = draw_gumbel(key, V, G, temp)
         mix_bm = to_bmajor(mix)
@@ -231,10 +239,22 @@ def make_tau_sweep_topk(counts: np.ndarray, interpret=None):
             n_val, b_idx, mix_bm, tau, gz, gamma.astype(jnp.float32),
             eta.astype(jnp.float32), interpret=interpret,
         )
+        if swap_key is not None:
+            from .swap_pallas import draw_swap_proposal, swap_bmajor
+
+            g_s, h_s, logu = draw_swap_proposal(swap_key, V, G)
+            if pad:
+                logu = jnp.pad(logu, (0, pad), constant_values=jnp.inf)
+            tau_out, mix_out = swap_bmajor(
+                n_bm, tau_out, mix_out, gamma.astype(jnp.float32),
+                eta.astype(jnp.float32), g_s, h_s, logu, beta=swap_beta,
+                interpret=interpret,
+            )
         if pad:
             tau_out = tau_out[:V]
             mix_out = mix_out[:V]
         return tau_out, from_bmajor(mix_out, S)
 
     tau_sweep_topk.needs_counts = False  # already bound
+    tau_sweep_topk.handles_swap = True
     return tau_sweep_topk
