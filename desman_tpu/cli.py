@@ -72,8 +72,11 @@ def _desman(argv) -> int:
     ap.add_argument("--chains", type=int, default=1,
                     help="vmapped chains (seeds seed..seed+chains-1); best by "
                     "star likelihood is written")
-    ap.add_argument("--kappa_gamma", type=float, default=100.0)
-    ap.add_argument("--kappa_eta", type=float, default=1000.0)
+    ap.add_argument("--kappa_gamma", type=float, default=0.0,
+                    help="gamma MH proposal concentration (0 = auto: "
+                    "warm-start from the data's posterior curvature)")
+    ap.add_argument("--kappa_eta", type=float, default=0.0,
+                    help="eta MH proposal concentration (0 = auto)")
     ap.add_argument("--checkpoint", default=None,
                     help="npz path: checkpoint every --checkpoint_every "
                     "sweeps and resume from it if present")

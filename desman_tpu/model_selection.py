@@ -93,8 +93,8 @@ def fit_grid(
     iterations: int = 250,
     eta_init: Optional[np.ndarray] = None,
     fix_eta: bool = False,
-    kappa_gamma: float = 100.0,
-    kappa_eta: float = 1000.0,
+    kappa_gamma: float = 0.0,   # 0 = curvature warm start (SamplerConfig)
+    kappa_eta: float = 0.0,
     unc_threshold: float = 0.9,
     out_stub: Optional[str] = None,
     data: Optional[io.CountsData] = None,

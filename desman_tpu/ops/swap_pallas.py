@@ -35,7 +35,14 @@ _LOG_FLOOR = 1e-12
 
 
 def draw_swap_proposal(key, V: int, G: int):
-    """(g, h, logu[V]) with the exact stream sampler.tau_swap_move uses."""
+    """(g, h, logu[V]) with the exact stream sampler.tau_swap_move uses.
+
+    G == 1 has no strain pair to swap; return a never-accept proposal
+    (+inf thresholds, g == h identity) so direct callers passing swap_key
+    with G=1 stay safe (make_sweep_fn guards this, raw kernel calls don't).
+    """
+    if G < 2:
+        return jnp.int32(0), jnp.int32(0), jnp.full((V,), jnp.inf, jnp.float32)
     k_pair, k_u = jax.random.split(key)
     g = jax.random.randint(k_pair, (), 0, G)
     off = jax.random.randint(jax.random.fold_in(k_pair, 1), (), 1, G)

@@ -25,7 +25,8 @@ from .mesh import (
 )
 
 
-def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
+def make_pallas_sweep_sharded(mesh: Mesh, interpret: Optional[bool] = None,
+                              true_V: Optional[int] = None):
     """A tau_sweep for sharded runs that calls the fused Pallas kernel
     per position shard.
 
@@ -37,13 +38,20 @@ def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
     every other path, so trajectories remain mesh-shape-invariant.
 
     V must be divisible by the data-axis size (run_chains_sharded pads).
-    interpret=True for CPU-mesh testing.
+    interpret=None auto-selects Pallas interpreter mode off-TPU (CPU CI).
+    ``true_V``: the unpadded position count; rows >= true_V (the wrapper's
+    global zero-count padding) get +inf swap thresholds so they never
+    accept — matching swap_pallas's own-tile-padding invariant. Without it,
+    pad-row swaps are accepted ~always (harmless while pad rows are
+    zero-count and sliced off, but the invariant would not cover them).
     """
     from functools import partial
 
     from ..ops.swap_pallas import draw_swap_proposal
     from ..ops.tau_pallas import draw_gumbel, tau_sweep_pallas_from_gz
 
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     kernel = partial(tau_sweep_pallas_from_gz, interpret=interpret)
 
     def kernel_swap(n, tau, mix, gamma, eta, gz, g_s, h_s, logu, beta):
@@ -93,6 +101,9 @@ def make_pallas_sweep_sharded(mesh: Mesh, interpret: bool = False):
         # trajectories stay mesh-shape-invariant; the move itself is
         # position-local (no collectives)
         g_s, h_s, logu = draw_swap_proposal(swap_key, V, G)
+        if true_V is not None and true_V < V:
+            # global pad rows never accept (see factory docstring)
+            logu = jnp.where(jnp.arange(V) >= true_V, jnp.inf, logu)
         return sharded_kernel_swap(n, tau, mix, gamma, eta, gz, g_s, h_s,
                                    logu, jnp.float32(swap_beta))
 
@@ -171,6 +182,7 @@ def _accum_shardings(mesh: Mesh):
         star_loglik=sh(P()), star_tau=sh(P(DATA_AXIS, None)),
         star_gamma=sh(P()), star_eta=sh(P()),
         acc_gamma=sh(P()), acc_eta=sh(P()),
+        acc_gamma_post=sh(P()), acc_eta_post=sh(P()),
     )
 
 
@@ -315,6 +327,7 @@ def _accum_shardings_chains(mesh: Mesh):
         star_loglik=sh(C), star_tau=sh(P(CHAIN_AXIS, DATA_AXIS)),
         star_gamma=sh(C), star_eta=sh(C),
         acc_gamma=sh(C), acc_eta=sh(C),
+        acc_gamma_post=sh(C), acc_eta_post=sh(C),
     )
 
 
