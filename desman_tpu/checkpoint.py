@@ -433,13 +433,16 @@ def run_pt_segment(
     n_sweeps: int,
     max_temp: float,
     tau_sweep=tau_sweep_xla,
+    burn=None,
 ):
     """Advance a PT ensemble n_sweeps from absolute sweep index start_it.
 
     key must be the ORIGINAL run key (the exchange stream folds absolute
-    sweep indices into it, so segments reproduce an uninterrupted run)."""
+    sweep indices into it, so segments reproduce an uninterrupted run).
+    ``burn`` (traced) overrides cfg.burn for the accumulation gates
+    (converge.run_chain_pt_auto)."""
     R = rung.shape[0]
-    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep)
+    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep, burn=burn)
     (states, accums, rung), (trace, n_accs, n_heads) = jax.lax.scan(
         step, (states, accums, rung), start_it + jnp.arange(n_sweeps)
     )
@@ -458,12 +461,13 @@ def run_pt_segment_store(
     n_sweeps: int,
     max_temp: float,
     tau_sweep=tau_sweep_xla,
+    burn=None,
 ):
     """run_pt_segment that also emits each sweep's COLD-rung (tau int8,
     gamma, eta) — the replica holding rung 0 after the sweep's exchange,
     matching run_chain_pt's stored-draw semantics."""
     R = rung.shape[0]
-    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep)
+    step = make_pt_step(n, cfg, key, R, max_temp, tau_sweep, burn=burn)
 
     def step_store(carry, it):
         carry, ys = step(carry, it)

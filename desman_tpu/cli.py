@@ -89,7 +89,8 @@ def _desman(argv) -> int:
     ap.add_argument("--pt", type=int, default=0, metavar="R",
                     help="parallel tempering with R replicas (better mixing "
                     "on multimodal posteriors; composes with --chains/"
-                    "--mesh/-t/-f/--checkpoint; not with --auto_burn)")
+                    "--mesh/-t/-f/--checkpoint, and with --auto_burn/"
+                    "--auto_samples via the cold-rung trace)")
     ap.add_argument("--pt_max_temp", type=float, default=8.0)
     ap.add_argument("--auto_burn", action="store_true",
                     help="extend burn-in until the loglik plateaus (at "
@@ -97,6 +98,12 @@ def _desman(argv) -> int:
                     "sweeps follow")
     ap.add_argument("--auto_tol", type=float, default=1e-5)
     ap.add_argument("--auto_max_burn", type=int, default=2000)
+    ap.add_argument("--auto_samples", type=float, default=0.0, metavar="ESS",
+                    help="extend sampling past -i/2 sweeps until the "
+                    "post-burn loglik bulk ESS (and min gamma ESS when "
+                    "--store_every draws exist) reaches this target, capped "
+                    "at --auto_max_samples")
+    ap.add_argument("--auto_max_samples", type=int, default=2000)
     ap.add_argument("--mesh", default=None, metavar="CHAINxDATA",
                     help="shard over a device mesh, e.g. 2x4 (chain x "
                     "position axes); requires --chains >= chain axis")
@@ -127,18 +134,25 @@ def _desman(argv) -> int:
         fix_tau=args.tau_fixed is not None,
         pt_replicas=args.pt, pt_max_temp=args.pt_max_temp,
         auto_burn=args.auto_burn, auto_tol=args.auto_tol,
-        auto_max_burn=args.auto_max_burn, eta_update=args.eta_update,
+        auto_max_burn=args.auto_max_burn, auto_samples=args.auto_samples,
+        auto_max_samples=args.auto_max_samples, eta_update=args.eta_update,
         store_every=args.store_every,
     )
+    auto = args.auto_burn or args.auto_samples > 0
     # capability matrix (VERDICT r1 item 4): every mode combination composes
     # (--store_every rides all of them; --pt --mesh --checkpoint and
     # --auto_burn --mesh --checkpoint compose since r4 via the multi-host
-    # shard-checkpoint extras channel) except the two below, each
-    # structural: a temperature ladder has no single plateau to detect, and
-    # PT replicas already occupy the mesh chain axis.
-    if args.auto_burn and args.pt >= 2:
-        print("desman: --auto_burn is incompatible with --pt (the ladder's "
-              "cold chain has no single plateau to detect)", file=sys.stderr)
+    # shard-checkpoint extras channel; --auto_burn --pt composes since r5
+    # via the cold-rung plateau trace, converge.run_chain_pt_auto) except
+    # the cells below: PT replicas already occupy the mesh chain axis
+    # (structural), and auto-length PT runs on one device program without
+    # the segment-snapshot machinery (auto+pt+checkpoint/mesh/chains —
+    # use a fixed -i for those, or drop one flag).
+    if auto and args.pt >= 2 and (args.mesh or args.checkpoint
+                                  or args.chains > 1):
+        print("desman: --auto_burn/--auto_samples with --pt composes only "
+              "single-chain without --mesh/--checkpoint (pin -i for those "
+              "combinations)", file=sys.stderr)
         return 2
     if args.mesh and args.pt >= 2 and args.chains > 1:
         print("desman: --pt --mesh does not compose with --chains "
@@ -179,7 +193,7 @@ def _desman(argv) -> int:
 
             run_pt_sharded(data, rc, mesh, tau_sweep=tau_sweep)
         elif (mesh is not None and args.checkpoint and args.chains <= 1
-                and not args.auto_burn):
+                and not auto):
             from .run import run_sharded_checkpointed
 
             run_sharded_checkpointed(data, rc, mesh, tau_sweep=tau_sweep)

@@ -52,6 +52,10 @@ class RunConfig:
     auto_burn: bool = False                 # plateau-detected burn-in length
     auto_tol: float = 1e-5                  # relative plateau tolerance
     auto_max_burn: int = 2000
+    # >0: extend sampling until post-burn bulk ESS reaches this target
+    # (loglik trace; min gamma ESS too when --store_every draws exist)
+    auto_samples: float = 0.0
+    auto_max_samples: int = 2000            # sampling-extension cap
     eta_update: str = "joint"               # "joint" (1 psum/sweep) | "rows"
     store_every: int = 0                    # >0: write every k-th post-burn draw
 
@@ -133,37 +137,57 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     from .profiling import device_trace
 
     t0 = time.time()
-    if rc.auto_burn and rc.pt_replicas >= 2:
-        raise ValueError("auto_burn is incompatible with pt")
+    # --auto_burn / --auto_samples: data-driven run length (converge.py).
+    # Without auto_burn the burn is pinned at cfg.burn (max_burn=cfg.burn
+    # makes phase 1 burn exactly that, segment-wise — same trajectory).
+    auto = rc.auto_burn or rc.auto_samples > 0
+    auto_kw = dict(
+        rel_tol=rc.auto_tol,
+        max_burn=rc.auto_max_burn if rc.auto_burn else cfg.burn,
+        ess_target=rc.auto_samples, max_samples=rc.auto_max_samples,
+    )
     with device_trace(rc.profile_dir):
-        if rc.auto_burn and rc.checkpoint_path:
+        if auto and rc.pt_replicas >= 2:
+            from dataclasses import replace as _replace
+
+            from .converge import run_chain_pt_auto
+
+            if not rc.auto_burn:  # fixed burn: plateau phase pinned off
+                auto_kw["max_burn"] = cfg.burn
+            res, burn_used, samples_used = run_chain_pt_auto(
+                n, cfg, jax.random.PRNGKey(rc.seed),
+                n_replicas=rc.pt_replicas, max_temp=rc.pt_max_temp,
+                eta_init=eta_init, tau_init=tau_init,
+                tau_sweep=tau_sweep or tau_sweep_xla,
+                auto_burn=rc.auto_burn, **auto_kw,
+            )
+            cfg = _replace(cfg, burn=burn_used, samples=samples_used)
+        elif auto and rc.checkpoint_path:
             import jax.tree_util as jtu
 
             from .converge import run_chains_auto
 
-            res_v, burn_used = run_chains_auto(
+            res_v, burn_used, samples_used = run_chains_auto(
                 n, cfg, jax.random.PRNGKey(rc.seed)[None], eta_init=eta_init,
-                tau_init=tau_init, rel_tol=rc.auto_tol,
-                max_burn=rc.auto_max_burn,
-                checkpoint_path=rc.checkpoint_path,
-                tau_sweep=tau_sweep or tau_sweep_xla,
+                tau_init=tau_init, checkpoint_path=rc.checkpoint_path,
+                tau_sweep=tau_sweep or tau_sweep_xla, **auto_kw,
             )
             res = jtu.tree_map(lambda x: x[0], res_v)
             from dataclasses import replace as _replace
 
-            cfg = _replace(cfg, burn=burn_used)
-        elif rc.auto_burn:
+            cfg = _replace(cfg, burn=burn_used, samples=samples_used)
+        elif auto:
             from .converge import run_chain_auto
 
-            res, burn_used = run_chain_auto(
+            res, burn_used, samples_used = run_chain_auto(
                 n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
-                tau_init=tau_init, rel_tol=rc.auto_tol,
-                max_burn=rc.auto_max_burn,
-                tau_sweep=tau_sweep or tau_sweep_xla,
+                tau_init=tau_init, tau_sweep=tau_sweep or tau_sweep_xla,
+                **auto_kw,
             )
             from dataclasses import replace as _replace
 
-            cfg = _replace(cfg, burn=burn_used)  # metrics report real sweeps
+            # metrics report real sweeps
+            cfg = _replace(cfg, burn=burn_used, samples=samples_used)
         elif rc.checkpoint_path and rc.pt_replicas >= 2:
             from .checkpoint import run_chain_pt_checkpointed
 
@@ -319,17 +343,20 @@ def run_multi(
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
     t0 = time.time()
-    if rc.auto_burn:
+    if rc.auto_burn or rc.auto_samples > 0:
         from .converge import run_chains_auto
 
-        res, burn_used = run_chains_auto(
+        res, burn_used, samples_used = run_chains_auto(
             n, cfg, keys, eta_init=eta_init, tau_init=tau_init,
-            rel_tol=rc.auto_tol, max_burn=rc.auto_max_burn,
+            rel_tol=rc.auto_tol,
+            max_burn=rc.auto_max_burn if rc.auto_burn else cfg.burn,
+            ess_target=rc.auto_samples, max_samples=rc.auto_max_samples,
             checkpoint_path=rc.checkpoint_path, mesh=mesh, **sweep_kw,
         )
         from dataclasses import replace as _replace
 
-        cfg = _replace(cfg, burn=burn_used)  # metrics report real sweeps
+        # metrics report real sweeps
+        cfg = _replace(cfg, burn=burn_used, samples=samples_used)
     elif rc.pt_replicas >= 2:
         from .sampler import run_chains_pt
 

@@ -706,13 +706,15 @@ def pt_init(n, cfg: SamplerConfig, key, R: int, eta_init=None, tau_init=None,
 
 
 def make_pt_step(n, cfg: SamplerConfig, key, R: int, max_temp: float,
-                 tau_sweep=tau_sweep_xla):
+                 tau_sweep=tau_sweep_xla, burn=None):
     """One PT sweep+exchange as a scan step over absolute sweep index.
 
     carry = (states[R], accums[R], rung[R]); ys = (cold_ll, n_acc, n_heads).
     Randomness folds the absolute sweep index into per-replica keys and the
     run key, so segmented execution (checkpoint.run_chain_pt_checkpointed)
-    reproduces an uninterrupted run bitwise.
+    reproduces an uninterrupted run bitwise. ``burn`` (traced) overrides
+    cfg.burn for the accumulation/adaptation gates, exactly like
+    make_sweep_fn's — converge.run_chain_pt_auto decides burn at runtime.
     """
     ladder = pt_ladder(R, max_temp)
     _, k_swap = jax.random.split(key)
@@ -725,7 +727,8 @@ def make_pt_step(n, cfg: SamplerConfig, key, R: int, max_temp: float,
         temps = ladder[rung]
         betas = 1.0 / temps
         new_states, new_accums, lls = jax.vmap(
-            lambda st, ac, t, b: sweep(n, st, ac, it, temp=t, beta=b)
+            lambda st, ac, t, b: sweep(n, st, ac, it, temp=t, beta=b,
+                                       burn=burn)
         )(states, accums, temps, betas)
         is_cold = (rung == 0)
         # keep the pre-sweep accum for hot replicas (their draws are from

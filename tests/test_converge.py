@@ -15,7 +15,7 @@ def test_auto_burn_stops_early_on_easy_data():
     t = synth.generate(V=80, S=10, G=2, coverage=60.0, seed=21)
     n = jnp.asarray(t.data.counts, jnp.float32)
     cfg = SamplerConfig(G=2, burn=30, samples=40, nmf_iters=40)
-    res, burn_used = run_chain_auto(n, cfg, jax.random.PRNGKey(0),
+    res, burn_used, _ = run_chain_auto(n, cfg, jax.random.PRNGKey(0),
                                     check_every=20, max_burn=1000)
     assert 30 <= burn_used <= 200, burn_used
     assert snp_distance_perm(t.tau_idx, np.asarray(res.tau_star)) == 0
@@ -29,7 +29,7 @@ def test_auto_burn_respects_max():
     t = synth.generate(V=40, S=6, G=3, coverage=10.0, seed=22)
     n = jnp.asarray(t.data.counts, jnp.float32)
     cfg = SamplerConfig(G=3, burn=10, samples=10, nmf_iters=20)
-    res, burn_used = run_chain_auto(
+    res, burn_used, _ = run_chain_auto(
         n, cfg, jax.random.PRNGKey(1), check_every=40, rel_tol=0.0,
         max_burn=40,
     )  # one segment == max_burn: no earlier plateau check possible
@@ -50,9 +50,11 @@ def test_auto_burn_cli(tmp_path):
                "-i", "40", "--auto_burn", "--auto_max_burn", "200"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "fit.txt"))
-    # guard: incompatible combos exit cleanly
+    # guard: incompatible combos exit cleanly (--auto_burn --pt itself
+    # composes since r5; the multi-chain variant remains excluded)
     assert main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out,
-                 "-i", "10", "--auto_burn", "--pt", "3"]) == 2
+                 "-i", "10", "--auto_burn", "--pt", "3",
+                 "--chains", "2"]) == 2
 
 
 def test_auto_burn_calibrated_against_slow_mixing():
@@ -79,9 +81,125 @@ def test_auto_burn_calibrated_against_slow_mixing():
         sigma = max(tr[-200:].std(), 1e-3)
 
         cfg = SamplerConfig(G=3, burn=50, samples=100, nmf_iters=30)
-        res, burn_used = run_chain_auto(n, cfg, jax.random.PRNGKey(0),
+        res, burn_used, _ = run_chain_auto(n, cfg, jax.random.PRNGKey(0),
                                         check_every=50, max_burn=800)
         post = np.asarray(res.loglik_trace, np.float64)[burn_used:][:50]
         deficit = (converged - post.mean()) / sigma
         assert deficit < 3.0, (kw, burn_used, deficit)
         assert burn_used <= burn_bound, (kw, burn_used)
+
+
+def test_auto_samples_extends_until_ess():
+    """--auto_samples (VERDICT r4 next #2): on a slow-mixing posterior the
+    sampling phase must EXTEND past cfg.samples until the post-burn loglik
+    bulk ESS reaches the target; on an easy posterior with a tiny target it
+    must stop at cfg.samples (fixed -i behavior unchanged by default)."""
+    t = synth.generate(V=100, S=8, G=3, coverage=4.0, gamma_alpha=50.0,
+                       seed=3)  # near-equal strains at low coverage: slow
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=3, burn=30, samples=40, nmf_iters=30)
+    res, burn_used, samples_used = run_chain_auto(
+        n, cfg, jax.random.PRNGKey(0), check_every=20, max_burn=30,
+        ess_target=60.0, max_samples=400,
+    )
+    assert samples_used > 40, samples_used
+    assert res.loglik_trace.shape[0] == burn_used + samples_used
+    # easy posterior, trivial target: no extension
+    t2 = synth.generate(V=80, S=10, G=2, coverage=60.0, seed=21)
+    n2 = jnp.asarray(t2.data.counts, jnp.float32)
+    cfg2 = SamplerConfig(G=2, burn=30, samples=40, nmf_iters=40)
+    _, _, s2 = run_chain_auto(n2, cfg2, jax.random.PRNGKey(0),
+                              check_every=20, max_burn=30, ess_target=2.0,
+                              max_samples=400)
+    assert s2 == 40, s2
+
+
+def test_auto_samples_gamma_ess_gate():
+    """With draws stored, the extension also gates on min gamma ESS."""
+    t = synth.generate(V=80, S=6, G=2, coverage=8.0, gamma_alpha=50.0,
+                       seed=5)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=2, burn=20, samples=20, nmf_iters=20,
+                        store_samples=True, store_thin=1)
+    res, burn_used, samples_used = run_chain_auto(
+        n, cfg, jax.random.PRNGKey(1), check_every=20, max_burn=20,
+        ess_target=30.0, max_samples=200,
+    )
+    assert res.gamma_samples is not None
+    assert res.gamma_samples.shape[0] == samples_used
+    assert res.loglik_trace.shape[0] == burn_used + samples_used
+
+
+def test_pt_auto_burn_cold_trace():
+    """--auto_burn --pt (VERDICT r4 missing #3b closed): the cold-rung
+    trace drives the plateau detector; the run stops before max_burn on an
+    easy posterior and still recovers the truth."""
+    from desman_tpu.converge import run_chain_pt_auto
+
+    t = synth.generate(V=80, S=10, G=2, coverage=60.0, seed=21)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=2, burn=30, samples=40, nmf_iters=40)
+    res, burn_used, samples_used = run_chain_pt_auto(
+        n, cfg, jax.random.PRNGKey(0), n_replicas=3, max_temp=4.0,
+        check_every=20, max_burn=600,
+    )
+    # the cold trace mixes over ALL replicas via the exchange, so it
+    # plateaus later than a single chain — but well before the cap
+    assert 30 <= burn_used <= 400, burn_used
+    assert samples_used == 40
+    assert res.loglik_trace.shape[0] == burn_used + samples_used
+    assert res.pt_swap_accept is not None
+    assert snp_distance_perm(t.tau_idx, np.asarray(res.tau_star)) == 0
+    mae, _ = match_gamma_perm(t.gamma, np.asarray(res.gamma_mean))
+    assert mae < 0.03
+
+
+def test_pt_auto_matches_fixed_pt_given_same_stops():
+    """Bitwise check: run_chain_pt_auto with auto_burn=False and no ESS
+    target replays exactly run_chain_pt's trajectory (same absolute-sweep
+    PRNG stream), so the star states and trace agree."""
+    from desman_tpu.converge import run_chain_pt_auto
+    from desman_tpu.sampler import run_chain_pt
+
+    t = synth.generate(V=60, S=6, G=2, coverage=40.0, seed=9)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=2, burn=20, samples=20, nmf_iters=20)
+    ref = run_chain_pt(n, cfg, jax.random.PRNGKey(3), n_replicas=3,
+                       max_temp=4.0)
+    got, burn_used, samples_used = run_chain_pt_auto(
+        n, cfg, jax.random.PRNGKey(3), n_replicas=3, max_temp=4.0,
+        check_every=15, auto_burn=False,
+    )
+    assert (burn_used, samples_used) == (20, 20)
+    np.testing.assert_array_equal(np.asarray(got.tau_star),
+                                  np.asarray(ref.tau_star))
+    np.testing.assert_allclose(np.asarray(got.loglik_trace),
+                               np.asarray(ref.loglik_trace), rtol=0, atol=0)
+
+
+def test_auto_samples_cli(tmp_path):
+    import json
+    import os
+
+    from desman_tpu import io
+    from desman_tpu.cli import main
+
+    t = synth.generate(V=60, S=6, G=2, coverage=50.0, seed=23)
+    io.write_counts_csv(str(tmp_path / "c.csv"), t.data)
+    out = str(tmp_path / "out")
+    rc = main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out,
+               "-i", "40", "--auto_samples", "2", "--auto_max_samples",
+               "100"])
+    assert rc == 0
+    m = json.load(open(os.path.join(out, "metrics.json")))
+    assert "loglik_ess_bulk" in m and m["sampling_sweeps"] >= 20
+    # --auto_burn --pt now composes; the remaining exclusions exit 2
+    out2 = str(tmp_path / "out2")
+    rc2 = main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out2,
+                "-i", "30", "--auto_burn", "--auto_max_burn", "120",
+                "--pt", "3"])
+    assert rc2 == 0
+    assert os.path.exists(os.path.join(out2, "fit.txt"))
+    assert main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out2,
+                 "-i", "10", "--auto_burn", "--pt", "3",
+                 "--checkpoint", str(tmp_path / "ck")]) == 2

@@ -87,7 +87,7 @@ def test_run_chains_auto_recovers_truth():
     t = synth.generate(V=80, S=10, G=2, coverage=60.0, seed=21)
     n = jnp.asarray(t.data.counts, jnp.float32)
     cfg = SamplerConfig(G=2, burn=30, samples=40, nmf_iters=40)
-    res, burn_used = run_chains_auto(n, cfg, _keys([0, 1]), check_every=20,
+    res, burn_used, _ = run_chains_auto(n, cfg, _keys([0, 1]), check_every=20,
                                      max_burn=1000)
     assert 30 <= burn_used <= 400, burn_used
     from desman_tpu.utils import snp_distance_perm
@@ -106,14 +106,14 @@ def test_run_chains_auto_checkpoint_resume(tmp_path):
     partial_cfg = SamplerConfig(G=2, burn=20, samples=5, nmf_iters=30)
     full_cfg = SamplerConfig(G=2, burn=20, samples=20, nmf_iters=30)
 
-    ref, ref_burn = run_chains_auto(n, full_cfg, _keys([0, 1]),
+    ref, ref_burn, _ = run_chains_auto(n, full_cfg, _keys([0, 1]),
                                     check_every=10, max_burn=100)
 
     # "crash" 5 sampling sweeps into phase 2, then resume the full run
     ckpt = str(tmp_path / "auto.npz")
     run_chains_auto(n, partial_cfg, _keys([0, 1]), check_every=10,
                     max_burn=100, checkpoint_path=ckpt)
-    got, got_burn = run_chains_auto(n, full_cfg, _keys([0, 1]),
+    got, got_burn, _ = run_chains_auto(n, full_cfg, _keys([0, 1]),
                                     check_every=10, max_burn=100,
                                     checkpoint_path=ckpt)
     assert got_burn == ref_burn
@@ -267,10 +267,10 @@ def test_auto_burn_on_mesh_matches_single_device():
     cfg = SamplerConfig(G=2, burn=10, samples=12, store_samples=True,
                         store_thin=3, nmf_iters=30)
     keys = _keys([0, 1])
-    res_m, burn_m = run_chains_auto(n, cfg, keys,
+    res_m, burn_m, _ = run_chains_auto(n, cfg, keys,
                                     mesh=make_mesh(n_chain=2, n_data=4),
                                     check_every=8, max_burn=40)
-    res_s, burn_s = run_chains_auto(n, cfg, keys, check_every=8, max_burn=40)
+    res_s, burn_s, _ = run_chains_auto(n, cfg, keys, check_every=8, max_burn=40)
     assert burn_m == burn_s
     assert np.array_equal(np.asarray(res_m.tau_star),
                           np.asarray(res_s.tau_star))
@@ -389,10 +389,10 @@ def test_auto_burn_mesh_checkpointed_matrix(tmp_path):
                         store_thin=3, nmf_iters=30)
     keys = _keys([0, 1])
     mesh = make_mesh(n_chain=2, n_data=4)
-    ref, burn_ref = run_chains_auto(n, cfg, keys, mesh=mesh, check_every=8,
+    ref, burn_ref, _ = run_chains_auto(n, cfg, keys, mesh=mesh, check_every=8,
                                     max_burn=40)
 
-    ck, burn_ck = run_chains_auto(
+    ck, burn_ck, _ = run_chains_auto(
         n, cfg, keys, mesh=mesh, check_every=8, max_burn=40,
         checkpoint_path=str(tmp_path / "ab1"))
     assert burn_ck == burn_ref
@@ -408,12 +408,12 @@ def test_auto_burn_mesh_checkpointed_matrix(tmp_path):
                     checkpoint_path=str(tmp_path / "ab2"))
     # store_thin must agree across lives for the shard files to line up;
     # rerun with the real cfg resumes from the last committed segment
-    full2, burn2 = run_chains_auto(
+    full2, burn2, _ = run_chains_auto(
         n, SamplerConfig(G=2, burn=10, samples=12, store_samples=True,
                          store_thin=1, nmf_iters=30),
         keys, mesh=mesh, check_every=8, max_burn=40,
         checkpoint_path=str(tmp_path / "ab2"))
-    ref2, _ = run_chains_auto(
+    ref2, _, _ = run_chains_auto(
         n, SamplerConfig(G=2, burn=10, samples=12, store_samples=True,
                          store_thin=1, nmf_iters=30),
         keys, mesh=mesh, check_every=8, max_burn=40)
