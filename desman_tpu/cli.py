@@ -161,12 +161,9 @@ def _desman(argv) -> int:
         return 2
     from .ops import resolve_tau_sweep
 
+    # all three kernels compose with --mesh since r5: run.bind_kernel wraps
+    # pallas in the shard_map sweep and pre-splits the topk static layout
     tau_sweep = resolve_tau_sweep(args.kernel)
-    if (getattr(tau_sweep, "needs_counts", False) and args.mesh):
-        print("desman: --kernel pallas_topk is single-device for now "
-              "(position-sharded tiles each need their own top-2 layout); "
-              "use --kernel pallas with --mesh", file=sys.stderr)
-        return 2
     mesh = None
     if args.mesh:
         from .parallel import make_mesh

@@ -192,7 +192,65 @@ def _sweep_topk(n_val, b_idx, mix_bm, tau, gz, gamma, eta, interpret=False):
     return tau_out, mix_out
 
 
-def make_tau_sweep_topk(counts: np.ndarray, interpret=None):
+def tau_sweep_topk_from_parts(n_val, b_idx, n_bm, tau, mix, gamma, eta, gz,
+                              swap_proposal=None, swap_beta=1.0,
+                              interpret=False):
+    """Compressed sweep on UNPADDED [V, ...] blocks of the static layout
+    (pads to the kernel tile internally, strips before returning).
+
+    The shard_map-friendly core: parallel/sharded.make_topk_sweep_sharded
+    passes each device's position-shard of (n_val, b_idx, n_bm) plus the
+    globally-drawn Gumbel noise and swap proposal; make_tau_sweep_topk
+    passes the whole arrays. Row-local computation, so per-shard tile
+    padding cannot perturb other rows — outputs are bitwise independent of
+    how V was split (tests/test_pallas.py::test_topk_sharded_matches_single).
+    """
+    V, lanes = n_bm.shape
+    S = lanes // NBASES
+    Vt = min(_round_up(V, 8), _tile_rows(S))
+    Vp = _round_up(V, Vt)
+    pad = Vp - V
+    mix_bm = to_bmajor(mix)
+    if pad:
+        n_val = jnp.pad(n_val, ((0, pad), (0, 0)))
+        b_idx = jnp.pad(b_idx, ((0, pad), (0, 0)))
+        n_bm = jnp.pad(n_bm, ((0, pad), (0, 0)))
+        mix_pad = jnp.zeros((pad, NBASES * S), jnp.float32)
+        mix_pad = mix_pad.at[:, :S].set(1.0)        # valid simplex rows
+        mix_bm = jnp.concatenate([mix_bm, mix_pad], axis=0)
+        tau = jnp.pad(tau, ((0, pad), (0, 0)))
+        gz = jnp.pad(gz, ((0, pad), (0, 0)))
+    tau_out, mix_out = _sweep_topk(
+        n_val, b_idx, mix_bm, tau, gz, gamma.astype(jnp.float32),
+        eta.astype(jnp.float32), interpret=interpret,
+    )
+    if swap_proposal is not None:
+        from .swap_pallas import swap_bmajor
+
+        g_s, h_s, logu = swap_proposal
+        if pad:
+            logu = jnp.pad(logu, (0, pad), constant_values=jnp.inf)
+        tau_out, mix_out = swap_bmajor(
+            n_bm, tau_out, mix_out, gamma.astype(jnp.float32),
+            eta.astype(jnp.float32), g_s, h_s, logu, beta=swap_beta,
+            interpret=interpret,
+        )
+    if pad:
+        tau_out = tau_out[:V]
+        mix_out = mix_out[:V]
+    return tau_out, from_bmajor(mix_out, S)
+
+
+def compress_parts(counts: np.ndarray):
+    """(n_val, b_idx, n_bm) static layout triple for the compressed sweep."""
+    n_val_h, b_idx_h = compress_counts(counts)
+    V, S = counts.shape[0], counts.shape[1]
+    n_bm_h = np.transpose(np.asarray(counts, np.float32), (0, 2, 1)).reshape(
+        V, NBASES * S)
+    return n_val_h, b_idx_h, n_bm_h
+
+
+def make_tau_sweep_topk(counts: np.ndarray, interpret=None, mesh=None):
     """Factory: compressed sweep with the standard tau_sweep signature.
 
     The top-2 layout depends only on the static counts, so it is computed
@@ -202,58 +260,34 @@ def make_tau_sweep_topk(counts: np.ndarray, interpret=None):
     (kept for signature parity) — callers must pass the same counts.
 
     interpret=None auto-selects Pallas interpreter mode off-TPU (CPU CI).
+    mesh: build the position-sharded variant instead (the static layout is
+    pre-split per shard outside shard_map — parallel/sharded).
     """
+    if mesh is not None:
+        from ..parallel.sharded import make_topk_sweep_sharded
+
+        return make_topk_sweep_sharded(mesh, counts, interpret=interpret)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    n_val_h, b_idx_h = compress_counts(counts)
-    V, S = counts.shape[0], counts.shape[1]
-
-    Vt = min(_round_up(V, 8), _tile_rows(S))
-    Vp = _round_up(V, Vt)
-    pad = Vp - V
-    if pad:
-        n_val_h = np.pad(n_val_h, ((0, pad), (0, 0)))
-        b_idx_h = np.pad(b_idx_h, ((0, pad), (0, 0)))
+    n_val_h, b_idx_h, n_bm_h = compress_parts(counts)
+    V = counts.shape[0]
     n_val = jnp.asarray(n_val_h)
     b_idx = jnp.asarray(b_idx_h)
-    # static base-major counts for the fused swap epilogue (ops/swap_pallas)
-    n_bm_h = np.pad(
-        np.transpose(np.asarray(counts, np.float32), (0, 2, 1)).reshape(
-            V, NBASES * S),
-        ((0, pad), (0, 0)),
-    )
     n_bm = jnp.asarray(n_bm_h)
 
     def tau_sweep_topk(n, tau, mix, gamma, eta, key, temp=1.0,
                        swap_key=None, swap_beta=1.0):
         G = tau.shape[1]
         gz = draw_gumbel(key, V, G, temp)
-        mix_bm = to_bmajor(mix)
-        if pad:
-            mix_pad = jnp.zeros((pad, NBASES * S), jnp.float32)
-            mix_pad = mix_pad.at[:, :S].set(1.0)    # valid simplex rows
-            mix_bm = jnp.concatenate([mix_bm, mix_pad], axis=0)
-            tau = jnp.pad(tau, ((0, pad), (0, 0)))
-            gz = jnp.pad(gz, ((0, pad), (0, 0)))
-        tau_out, mix_out = _sweep_topk(
-            n_val, b_idx, mix_bm, tau, gz, gamma.astype(jnp.float32),
-            eta.astype(jnp.float32), interpret=interpret,
-        )
+        swap = None
         if swap_key is not None:
-            from .swap_pallas import draw_swap_proposal, swap_bmajor
+            from .swap_pallas import draw_swap_proposal
 
-            g_s, h_s, logu = draw_swap_proposal(swap_key, V, G)
-            if pad:
-                logu = jnp.pad(logu, (0, pad), constant_values=jnp.inf)
-            tau_out, mix_out = swap_bmajor(
-                n_bm, tau_out, mix_out, gamma.astype(jnp.float32),
-                eta.astype(jnp.float32), g_s, h_s, logu, beta=swap_beta,
-                interpret=interpret,
-            )
-        if pad:
-            tau_out = tau_out[:V]
-            mix_out = mix_out[:V]
-        return tau_out, from_bmajor(mix_out, S)
+            swap = draw_swap_proposal(swap_key, V, G)
+        return tau_sweep_topk_from_parts(
+            n_val, b_idx, n_bm, tau, mix, gamma, eta, gz,
+            swap_proposal=swap, swap_beta=swap_beta, interpret=interpret,
+        )
 
     tau_sweep_topk.needs_counts = False  # already bound
     tau_sweep_topk.handles_swap = True

@@ -2,7 +2,7 @@
 
 from .mesh import make_mesh, shard_counts, shard_keys
 from .sharded import (
-    make_pallas_sweep_sharded, run_chain_pt_sharded,
+    make_pallas_sweep_sharded, make_topk_sweep_sharded, run_chain_pt_sharded,
     run_chain_pt_sharded_checkpointed, run_chain_sharded_checkpointed,
     run_chains_sharded, run_chains_sharded_checkpointed,
 )
@@ -12,4 +12,5 @@ __all__ = [
     "run_chain_pt_sharded", "run_chain_pt_sharded_checkpointed",
     "run_chain_sharded_checkpointed",
     "run_chains_sharded_checkpointed", "make_pallas_sweep_sharded",
+    "make_topk_sweep_sharded",
 ]

@@ -60,6 +60,32 @@ class RunConfig:
     store_every: int = 0                    # >0: write every k-th post-burn draw
 
 
+def bind_kernel(tau_sweep, counts, mesh=None):
+    """Resolve a CLI kernel selection against the post-prepare counts/mesh.
+
+    - ``pallas_topk`` factories (``needs_counts``) bind their static top-2
+      layout here — per position shard under a mesh (the r4 "--kernel
+      pallas_topk --mesh" exclusion, closed by the pre-split layout in
+      parallel.make_topk_sweep_sharded).
+    - the plain pallas kernel gets the shard_map wrapper under a mesh: a
+      raw pallas_call cannot be GSPMD-partitioned, so passing it through
+      unwrapped would crash in lowering.
+    """
+    if tau_sweep is None:
+        return None
+    if getattr(tau_sweep, "needs_counts", False):
+        return (tau_sweep(counts, mesh=mesh) if mesh is not None
+                else tau_sweep(counts))
+    if mesh is not None:
+        from .ops import tau_sweep_pallas
+
+        if tau_sweep is tau_sweep_pallas:
+            from .parallel import make_pallas_sweep_sharded
+
+            return make_pallas_sweep_sharded(mesh, true_V=counts.shape[0])
+    return tau_sweep
+
+
 def prepare_data(
     data: io.CountsData, min_coverage: float, n_positions: int, seed: int
 ) -> io.CountsData:
@@ -131,9 +157,7 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         raise ValueError("fix_tau requires tau_file")
 
     n = jnp.asarray(data.counts, jnp.float32)
-    if tau_sweep is not None and getattr(tau_sweep, "needs_counts", False):
-        # pallas_topk: bind the static top-2 layout to the post-filter counts
-        tau_sweep = tau_sweep(data.counts)
+    tau_sweep = bind_kernel(tau_sweep, data.counts)
     from .profiling import device_trace
 
     t0 = time.time()
@@ -247,6 +271,7 @@ def run_sharded_checkpointed(
     if rc.eta_file:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
     tau_init = load_tau_init(rc.tau_file, data) if rc.tau_file else None
+    tau_sweep = bind_kernel(tau_sweep, data.counts, mesh)
     t0 = time.time()
     res = run_chain_sharded_checkpointed(
         data.counts, cfg, jax.random.PRNGKey(rc.seed), rc.checkpoint_path,
@@ -283,6 +308,7 @@ def run_pt_sharded(
     if rc.eta_file:
         eta_init = jnp.asarray(io.read_eta_csv(rc.eta_file), jnp.float32)
     tau_init = load_tau_init(rc.tau_file, data) if rc.tau_file else None
+    tau_sweep = bind_kernel(tau_sweep, data.counts, mesh)
     t0 = time.time()
     if rc.checkpoint_path:
         res = run_chain_pt_sharded_checkpointed(
@@ -337,8 +363,7 @@ def run_multi(
         raise ValueError("fix_tau requires tau_file")
 
     n = jnp.asarray(data.counts, jnp.float32)
-    if tau_sweep is not None and getattr(tau_sweep, "needs_counts", False):
-        tau_sweep = tau_sweep(data.counts)
+    tau_sweep = bind_kernel(tau_sweep, data.counts, mesh)
     seeds = list(range(rc.seed, rc.seed + n_chains))
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}

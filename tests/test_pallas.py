@@ -195,7 +195,8 @@ def test_topk_full_chain_agrees():
 
 def test_topk_cli(tmp_path):
     """--kernel pallas_topk end-to-end through the CLI (factory binding in
-    run.py), and the --mesh rejection."""
+    run.bind_kernel), single-device AND on a mesh (the r4 exclusion,
+    closed in r5)."""
     import os
 
     from desman_tpu import io
@@ -208,9 +209,88 @@ def test_topk_cli(tmp_path):
     rc = main(["desman", csv, "-g", "2", "-o", out, "-i", "20",
                "--kernel", "pallas_topk"])
     assert rc == 0 and os.path.exists(os.path.join(out, "fit.txt"))
-    assert main(["desman", csv, "-g", "2", "-o", str(tmp_path / "o2"),
-                 "-i", "20", "--kernel", "pallas_topk",
-                 "--mesh", "2x4"]) == 2
+    out2 = str(tmp_path / "o2")
+    rc2 = main(["desman", csv, "-g", "2", "-o", out2, "-i", "20",
+                "--chains", "2", "--kernel", "pallas_topk", "--mesh", "2x4"])
+    assert rc2 == 0 and os.path.exists(os.path.join(out2, "fit.txt"))
+
+
+def test_pallas_cli_mesh(tmp_path):
+    """--kernel pallas --mesh through the CLI: run.bind_kernel must wrap
+    the raw kernel in the shard_map sweep (passing it through unwrapped
+    crashed in GSPMD lowering — r5 regression guard)."""
+    import os
+
+    from desman_tpu import io
+    from desman_tpu.cli import main
+
+    t = _biallelic(V=64, S=8, G=2, seed=3)
+    csv = str(tmp_path / "c.csv")
+    io.write_counts_csv(csv, t.data)
+    out = str(tmp_path / "out")
+    rc = main(["desman", csv, "-g", "2", "-o", out, "-i", "16",
+               "--chains", "2", "--kernel", "pallas", "--mesh", "2x4"])
+    assert rc == 0 and os.path.exists(os.path.join(out, "fit.txt"))
+
+
+def test_topk_sharded_matches_single():
+    """Bitwise: the position-sharded compressed sweep reproduces the
+    single-device compressed chain (VERDICT r4 next #3) — the static
+    layout pre-split, global noise pre-draw, and per-shard tile padding
+    must all be trajectory-transparent. Odd V exercises global padding."""
+    from desman_tpu.ops.tau_topk import make_tau_sweep_topk
+    from desman_tpu.parallel import make_topk_sweep_sharded
+    from desman_tpu.parallel.mesh import make_mesh, pad_positions
+    from desman_tpu.sampler import SamplerConfig, run_chain, run_chains
+    from desman_tpu.parallel import run_chains_sharded
+
+    t = _biallelic(V=101, S=8, G=3, seed=7)
+    cfg = SamplerConfig(G=3, burn=6, samples=6, nmf_iters=30)
+    mesh = make_mesh(n_chain=1, n_data=4, devices=jax.devices()[:4])
+
+    sweep_sh = make_topk_sweep_sharded(mesh, t.data.counts,
+                                       interpret=INTERPRET)
+    got = run_chains_sharded(t.data.counts, cfg, [0], mesh=mesh,
+                             tau_sweep=sweep_sh)
+
+    # single-device reference on the SAME padded counts (the pad rows are
+    # zero-coverage and prefix-stable PRNG makes their draws inert)
+    padded, V = pad_positions(np.asarray(t.data.counts, np.float32), 4)
+    sweep_1 = make_tau_sweep_topk(padded, interpret=INTERPRET)
+    ref = run_chain(jnp.asarray(padded), cfg, jax.random.PRNGKey(0),
+                    tau_sweep=sweep_1)
+
+    np.testing.assert_array_equal(np.asarray(got.tau_star[0]),
+                                  np.asarray(ref.tau_star)[:V])
+    np.testing.assert_allclose(np.asarray(got.loglik_trace[0]),
+                               np.asarray(ref.loglik_trace), rtol=2e-5)
+
+
+def test_topk_sharded_matches_full_kernel_sharded():
+    """topk == full pallas kernel on the 8-virtual-device mesh, biallelic
+    data: identical draws up to f32 reduction-order ties."""
+    from desman_tpu.parallel import (
+        make_pallas_sweep_sharded, make_topk_sweep_sharded,
+        run_chains_sharded,
+    )
+    from desman_tpu.parallel.mesh import make_mesh
+    from desman_tpu.sampler import SamplerConfig
+
+    t = _biallelic(V=96, S=8, G=3, seed=8)
+    cfg = SamplerConfig(G=3, burn=5, samples=5, nmf_iters=30)
+    mesh = make_mesh(n_chain=1, n_data=8, devices=jax.devices()[:8])
+    full = run_chains_sharded(
+        t.data.counts, cfg, [0], mesh=mesh,
+        tau_sweep=make_pallas_sweep_sharded(mesh, interpret=INTERPRET,
+                                            true_V=t.data.counts.shape[0]))
+    topk = run_chains_sharded(
+        t.data.counts, cfg, [0], mesh=mesh,
+        tau_sweep=make_topk_sweep_sharded(mesh, t.data.counts,
+                                          interpret=INTERPRET))
+    agree = (np.asarray(full.tau_star) == np.asarray(topk.tau_star)).mean()
+    assert agree > 0.99, f"tau agreement {agree}"
+    np.testing.assert_allclose(np.asarray(full.loglik_trace),
+                               np.asarray(topk.loglik_trace), rtol=1e-4)
 
 
 # --------------------------------------------------------------------------
