@@ -57,12 +57,14 @@ def main():
     cfg = SamplerConfig(G=G, burn=0, samples=TPU_SWEEPS, nmf_iters=50)
     key = jax.random.PRNGKey(0)
 
-    # fused Pallas tau sweep on real TPU; XLA fallback elsewhere (e.g. CPU CI)
+    # resident whole-sweep kernel path on real TPU (tau+swap+gamma+eta all
+    # on base-major tiles, desman_tpu.resident — r5); XLA elsewhere (CPU CI)
     if jax.default_backend() in ("tpu", "axon"):
-        from desman_tpu.ops import tau_sweep_pallas as tau_sweep
+        from desman_tpu.resident import run_chain_resident as run_chain
     else:
         from desman_tpu.sampler import tau_sweep_xla as tau_sweep
-    run_chain = partial(run_chain_base, tau_sweep=tau_sweep)
+
+        run_chain = partial(run_chain_base, tau_sweep=tau_sweep)
 
     res = run_chain(n, cfg, key)          # compile + run
     trace = np.asarray(res.loglik_trace)  # device->host fetch forces completion

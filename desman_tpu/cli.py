@@ -83,9 +83,13 @@ def _desman(argv) -> int:
     ap.add_argument("--checkpoint_every", type=int, default=50)
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler device trace to this dir")
-    ap.add_argument("--kernel", choices=["xla", "pallas", "pallas_topk"],
+    ap.add_argument("--kernel",
+                    choices=["xla", "pallas", "pallas_topk",
+                             "pallas_resident"],
                     default="xla",
-                    help="tau-sweep implementation")
+                    help="tau-sweep implementation (pallas_resident: the "
+                    "whole sweep on base-major tiles — fastest single-"
+                    "device mode, plain runs only)")
     ap.add_argument("--pt", type=int, default=0, metavar="R",
                     help="parallel tempering with R replicas (better mixing "
                     "on multimodal posteriors; composes with --chains/"
@@ -158,6 +162,15 @@ def _desman(argv) -> int:
         print("desman: --pt --mesh does not compose with --chains "
               "(replicas already occupy the mesh chain axis)",
               file=sys.stderr)
+        return 2
+    if args.kernel == "pallas_resident" and (
+            args.mesh or args.pt >= 2 or auto or args.checkpoint
+            or args.store_every or args.tau_fixed
+            or args.eta_update == "rows"):
+        print("desman: --kernel pallas_resident is the single-device speed "
+              "mode for plain runs (composes with --chains only); use "
+              "--kernel pallas for --mesh/--pt/--auto_*/--checkpoint/"
+              "--store_every/-f/--eta_update rows", file=sys.stderr)
         return 2
     from .ops import resolve_tau_sweep
 

@@ -21,8 +21,21 @@ def resolve_tau_sweep(kernel):
         factory = make_tau_sweep_topk
         factory.needs_counts = True
         return factory
+    if kernel == "pallas_resident":
+        # marker: run.py routes to resident.run_chain(s)_resident — the
+        # whole sweep runs on base-major tiles, not just the tau update,
+        # so it is not a drop-in tau_sweep fn
+        return _RESIDENT
     raise ValueError(
-        f"unknown tau kernel {kernel!r}; one of: xla, pallas, pallas_topk")
+        f"unknown tau kernel {kernel!r}; one of: xla, pallas, pallas_topk, "
+        "pallas_resident")
+
+
+class _ResidentMarker:
+    resident = True
+
+
+_RESIDENT = _ResidentMarker()
 
 
 __all__ = ["tau_sweep_pallas", "make_tau_sweep_topk", "resolve_tau_sweep"]

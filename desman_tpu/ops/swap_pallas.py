@@ -52,7 +52,8 @@ def draw_swap_proposal(key, V: int, G: int):
 
 
 def _kernel(n_ref, mix_ref, tau_ref, logu_ref, dgam_ref, sel_ref, eta_ref,
-            tau_out_ref, mix_out_ref, *, G: int, S: int):
+            tau_out_ref, mix_out_ref, *args, G: int, S: int,
+            emit_ll: bool = False):
     """Swap MH for a [Vt, 4S] base-major tile.
 
     n_ref/mix_ref: [Vt, 4S] counts / mixture (lane = a*S + s).
@@ -60,6 +61,10 @@ def _kernel(n_ref, mix_ref, tau_ref, logu_ref, dgam_ref, sel_ref, eta_ref,
     (pre-multiplied by 1/beta outside, so the kernel compares plain dll).
     dgam_ref: [1, 4S] gamma[s,g]-gamma[s,h] tiled over the base axis.
     sel_ref: [1, G*2] one-hot masks for g (first G lanes) and h (last G).
+    emit_ll: also accumulate the POST-swap per-sample log-likelihood into
+    a trailing [1, S] output — both logs are already in registers for the
+    MH ratio, so this costs ~2 extra multiply/select passes and hands the
+    resident sweep its gamma-MH ll_old term for free (ops/gamma_pallas).
     """
     n = n_ref[:]                                    # [Vt, 4S]
     mix = mix_ref[:]
@@ -97,11 +102,25 @@ def _kernel(n_ref, mix_ref, tau_ref, logu_ref, dgam_ref, sel_ref, eta_ref,
     w = jnp.concatenate(w_blocks, axis=1)           # [Vt, 4S]
 
     p_prop = p + dgam * w
-    term = n * (jnp.log(jnp.maximum(p_prop, _LOG_FLOOR))
-                - jnp.log(jnp.maximum(p, _LOG_FLOOR)))
+    logp = jnp.log(jnp.maximum(p, _LOG_FLOOR))
+    term = n * (jnp.log(jnp.maximum(p_prop, _LOG_FLOOR)) - logp)
     dll = jnp.sum(term, axis=1)                     # [Vt]
 
     accept = (logu_ref[:, 0] < dll).astype(jnp.float32)   # [Vt]
+
+    if emit_ll:
+        ll_ref = args[0]
+        t_fin = n * logp + accept[:, None] * term   # [Vt, 4S]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            ll_ref[:] = jnp.zeros_like(ll_ref)
+
+        lanes_sum = jnp.sum(t_fin, axis=0)          # [4S] b-major fold
+        acc_s = lanes_sum[0:S]
+        for b in range(1, NBASES):
+            acc_s = acc_s + lanes_sum[b * S:(b + 1) * S]
+        ll_ref[0, :] += acc_s
 
     mix_out_ref[:] = mix + accept[:, None] * (dgam * doh_lane)
     # swap tau cols g<->h where accepted
@@ -113,22 +132,31 @@ def _kernel(n_ref, mix_ref, tau_ref, logu_ref, dgam_ref, sel_ref, eta_ref,
     tau_out_ref[:] = tau + acc_i * (swapped - tau)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _swap_bmajor(n_bm, mix_bm, tau, logu, dgam_t, sel, eta, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "emit_ll"))
+def _swap_bmajor(n_bm, mix_bm, tau, logu, dgam_t, sel, eta, interpret=False,
+                 emit_ll=False):
     V, lanes = n_bm.shape
     G = tau.shape[1]
     S = lanes // NBASES
     Vt = min(V, _tile_rows(S))
     assert V % Vt == 0
 
-    kernel = functools.partial(_kernel, G=G, S=S)
+    kernel = functools.partial(_kernel, G=G, S=S, emit_ll=emit_ll)
     grid = (V // Vt,)
     tile = lambda r: pl.BlockSpec((Vt, r), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
 
-    tau_out, mix_out = pl.pallas_call(
+    out_specs = [tile(G), tile(lanes)]
+    out_shape = [
+        jax.ShapeDtypeStruct((V, G), jnp.int32),
+        jax.ShapeDtypeStruct((V, lanes), jnp.float32),
+    ]
+    if emit_ll:
+        out_specs.append(full((1, S)))
+        out_shape.append(jax.ShapeDtypeStruct((1, S), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -140,18 +168,19 @@ def _swap_bmajor(n_bm, mix_bm, tau, logu, dgam_t, sel, eta, interpret=False):
             full((1, 2 * G)),               # g/h one-hot masks
             full((NBASES, NBASES)),         # eta
         ],
-        out_specs=[tile(G), tile(lanes)],
-        out_shape=[
-            jax.ShapeDtypeStruct((V, G), jnp.int32),
-            jax.ShapeDtypeStruct((V, lanes), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(n_bm, mix_bm, tau, logu, dgam_t, sel, eta)
+    if emit_ll:
+        tau_out, mix_out, ll = out
+        return tau_out, mix_out, ll[0]
+    tau_out, mix_out = out
     return tau_out, mix_out
 
 
 def swap_bmajor(n_bm, tau, mix_bm, gamma, eta, g, h, logu, beta=1.0,
-                interpret=False):
+                interpret=False, emit_ll=False):
     """Swap move on PADDED base-major arrays (tau kernel epilogue).
 
     (g, h, logu) come from ``draw_swap_proposal`` drawn at the UNPADDED V
@@ -171,4 +200,5 @@ def swap_bmajor(n_bm, tau, mix_bm, gamma, eta, g, h, logu, beta=1.0,
         (gidx == g).astype(jnp.float32), (gidx == h).astype(jnp.float32)
     ])[None, :]                                                 # [1, 2G]
     return _swap_bmajor(n_bm, mix_bm, tau, logu[:, None], dgam_t, sel,
-                        jnp.asarray(eta, jnp.float32), interpret=interpret)
+                        jnp.asarray(eta, jnp.float32), interpret=interpret,
+                        emit_ll=emit_ll)

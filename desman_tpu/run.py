@@ -73,6 +73,8 @@ def bind_kernel(tau_sweep, counts, mesh=None):
     """
     if tau_sweep is None:
         return None
+    if getattr(tau_sweep, "resident", False):
+        return tau_sweep  # routed to resident.run_chain(s)_resident
     if getattr(tau_sweep, "needs_counts", False):
         return (tau_sweep(counts, mesh=mesh) if mesh is not None
                 else tau_sweep(counts))
@@ -171,7 +173,14 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
         ess_target=rc.auto_samples, max_samples=rc.auto_max_samples,
     )
     with device_trace(rc.profile_dir):
-        if auto and rc.pt_replicas >= 2:
+        if getattr(tau_sweep, "resident", False):
+            from .resident import run_chain_resident
+
+            res = run_chain_resident(
+                n, cfg, jax.random.PRNGKey(rc.seed), eta_init=eta_init,
+                tau_init=tau_init,
+            )
+        elif auto and rc.pt_replicas >= 2:
             from dataclasses import replace as _replace
 
             from .converge import run_chain_pt_auto
@@ -368,7 +377,12 @@ def run_multi(
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
     t0 = time.time()
-    if rc.auto_burn or rc.auto_samples > 0:
+    if getattr(tau_sweep, "resident", False):
+        from .resident import run_chains_resident
+
+        res = run_chains_resident(n, cfg, seeds, eta_init=eta_init,
+                                  tau_init=tau_init)
+    elif rc.auto_burn or rc.auto_samples > 0:
         from .converge import run_chains_auto
 
         res, burn_used, samples_used = run_chains_auto(

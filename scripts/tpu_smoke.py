@@ -122,6 +122,20 @@ def main() -> int:
               f"final_ll_rel_fused={rel_fused:.2e}", file=sys.stderr)
         return 1
 
+    # --- 4. resident whole-sweep path vs the XLA chain (r5) ---
+    from desman_tpu.resident import run_chain_resident
+
+    res_r = run_chain_resident(n, cfg, ck)
+    ll_r = np.asarray(res_r.loglik_trace)
+    star_res = float(
+        (np.asarray(res_r.tau_star) == np.asarray(res_x.tau_star)).mean()
+    )
+    rel_res = abs(float(ll_r[-1]) - float(ll_x[-1])) / abs(float(ll_x[-1]))
+    if star_res <= 0.99 or rel_res > 1e-4 or not np.isfinite(ll_r).all():
+        print(f"tpu_smoke: FAIL resident star={star_res:.4f} "
+              f"final_ll_rel={rel_res:.2e}", file=sys.stderr)
+        return 1
+
     print(json.dumps({
         "check": "tpu_smoke_pallas_eq_xla",
         "device": str(dev),
@@ -129,8 +143,10 @@ def main() -> int:
         "swap_agreement": round(swap_agree, 5),
         "star_agreement": round(star_agree, 5),
         "star_agreement_fused_swap": round(star_fused, 5),
+        "star_agreement_resident": round(star_res, 5),
         "final_loglik_rel_diff": float(f"{rel:.3e}"),
         "final_loglik_rel_diff_fused": float(f"{rel_fused:.3e}"),
+        "final_loglik_rel_diff_resident": float(f"{rel_res:.3e}"),
         "pallas_chain_s": round(t_pallas, 2),
         "pass": True,
     }))
