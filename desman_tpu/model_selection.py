@@ -278,6 +278,7 @@ def resolve_nhap(
     records: Sequence[RunRecord],
     dev_cutoff: float = 0.02,
     unc_cutoff: float = 0.1,
+    unc_veto_slack: float = 0.2,
 ) -> SelectionResult:
     """Pick (G, run) from a fitted grid.
 
@@ -288,10 +289,20 @@ def resolve_nhap(
       strain no longer buys a meaningful fraction of the remaining deviance
       (normalizing by the current deviance keeps the rule scale-free: D(1)
       can sit orders of magnitude above the noise floor), OR
-    - g+1's best run has mean SNV uncertainty > ``unc_cutoff`` — with few
-      samples an extra strain can genuinely lower deviance by absorbing
-      noise, but the posterior flags it as uncertain; this is why the
-      reference pairs deviance with SNV uncertainty (SURVEY.md §3.4).
+    - the improvement is MARGINAL (< ``unc_veto_slack``) and g+1's best run
+      has mean SNV uncertainty > ``unc_cutoff`` — with few samples an extra
+      strain can genuinely lower deviance a little by absorbing noise, but
+      the posterior flags it as uncertain; this is why the reference pairs
+      deviance with SNV uncertainty (SURVEY.md §3.4).
+
+    The uncertainty veto is deliberately CONDITIONAL on a marginal
+    improvement (r5 correction): an honestly-mixing chain at an UNDERFIT G
+    also shows high SNV uncertainty — strains are frustrated composites —
+    while cutting the deviance by 2x+ per added strain. An unconditional
+    veto then stops the scan at G=1 (observed on the paper-scale mock the
+    moment the r5 kappa warm start unfroze the gamma chains; the r1-r4
+    rule only looked right because near-frozen chains under-dispersed
+    tau_mean). Large improvements therefore always continue the scan.
 
     NOTE: requires converged chains — SamplerConfig's tempered burn-in
     (anneal_temp0) plus enough iterations (PERF.md discusses the
@@ -309,7 +320,9 @@ def resolve_nhap(
         nxt = by_g[gs[i + 1]]
         d_here = by_g[g].mean_deviance
         improvement = (d_here - nxt.mean_deviance) / max(abs(nxt.mean_deviance), 1e-9)
-        if improvement < dev_cutoff or nxt.uncertainty > unc_cutoff:
+        if improvement < dev_cutoff or (
+                improvement < unc_veto_slack
+                and nxt.uncertainty > unc_cutoff):
             chosen = by_g[g]
             break
     return SelectionResult(

@@ -55,3 +55,25 @@ def test_summary_line_format():
                                   run_dir="d")])
     parts = sel.summary_line().split(",")
     assert parts[0] == "2" and parts[1] == "1" and parts[4] == "d"
+
+
+def test_resolve_nhap_uncertainty_veto_is_conditional():
+    """r5 regression (paper-scale mock): an honestly-mixing UNDERFIT chain
+    shows high SNV uncertainty while each added strain still halves the
+    deviance — the uncertainty veto must not stop the scan there. It still
+    vetoes a MARGINAL improvement whose new strain is uncertain."""
+    records = [
+        RunRecord(G=1, seed=0, mean_deviance=76_891_681.0, uncertainty=0.0),
+        RunRecord(G=2, seed=0, mean_deviance=11_094_384.0, uncertainty=0.5),
+        RunRecord(G=3, seed=0, mean_deviance=7_045_330.0, uncertainty=0.4),
+        RunRecord(G=4, seed=0, mean_deviance=5_320_977.0, uncertainty=0.3),
+        RunRecord(G=5, seed=0, mean_deviance=2_606_099.0, uncertainty=0.01),
+        RunRecord(G=6, seed=0, mean_deviance=2_606_207.0, uncertainty=0.6),
+    ]
+    assert resolve_nhap(records).G == 5
+    # marginal improvement + uncertain new strain: veto applies
+    records2 = [
+        RunRecord(G=2, seed=0, mean_deviance=4000.0, uncertainty=0.01),
+        RunRecord(G=3, seed=0, mean_deviance=3800.0, uncertainty=0.5),
+    ]
+    assert resolve_nhap(records2).G == 2
