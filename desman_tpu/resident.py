@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.fused_sweep import fused_sweep
 from .ops.gamma_pallas import gamma_apply_eta_bmajor, gamma_ll_bmajor
 from .ops.swap_pallas import draw_swap_proposal, swap_bmajor
 from .ops.tau_pallas import (
@@ -100,32 +101,32 @@ def make_resident_sweep(cfg: SamplerConfig, n_bm, V: int, interpret: bool):
         else:
             temp = 1.0
         gz = draw_gumbel(k_tau, Vp, G, temp)
-        tau, mix_bm = _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta,
-                                    interpret=interpret)
-        ll_old = None
-        if cfg.swap_moves and G > 1:
-            g_s, h_s, logu = draw_swap_proposal(
-                jax.random.fold_in(k_tau, 12345), Vp, G)
-            if V < Vp:  # pad rows never accept
-                logu = jnp.where(jnp.arange(Vp) >= V, jnp.inf, logu)
-            # emit_ll: the post-swap per-sample loglik rides the swap
-            # kernel's already-evaluated logs — it IS the gamma MH's
-            # ll_old, so the gamma kernel skips that half entirely
-            tau, mix_bm, ll_old = swap_bmajor(
-                n_bm, tau, mix_bm, gamma, eta, g_s, h_s, logu,
-                interpret=interpret, emit_ll=True)
-
-        # --- gamma MH (sampler.gamma_step's stream + math, kernel ll) ---
+        # gamma proposal drawn up front (its stream never depends on the
+        # sweep's outputs), so the tau sweep + swap + both gamma-MH
+        # likelihood terms run as ONE kernel (ops/fused_sweep) — the tile
+        # is read once per sweep for the whole front half
         k_prop, k_u = jax.random.split(k_gamma)
         kappa_g = state.kappa_gamma
         alpha_fwd = kappa_g * gamma + cfg.proposal_floor
         gamma_prop = _sample_dirichlet(k_prop, alpha_fwd)
         alpha_rev = kappa_g * gamma_prop + cfg.proposal_floor
-        ll2 = gamma_ll_bmajor(n_bm, mix_bm, tau, gamma_prop, eta,
-                              interpret=interpret, with_old=ll_old is None)
-        if ll_old is None:
-            ll_old = ll2[0]
-        ll_new = ll2[1]
+        if cfg.swap_moves and G > 1:
+            g_s, h_s, logu = draw_swap_proposal(
+                jax.random.fold_in(k_tau, 12345), Vp, G)
+            if V < Vp:  # pad rows never accept
+                logu = jnp.where(jnp.arange(Vp) >= V, jnp.inf, logu)
+            tau, mix_bm, ll2 = fused_sweep(
+                n_bm, tau, mix_bm, gamma, eta, gz, g_s, h_s, logu,
+                gamma_prop, interpret=interpret)
+            ll_old, ll_new = ll2[0], ll2[1]
+        else:
+            tau, mix_bm = _sweep_bmajor(n_bm, mix_bm, tau, gz, gamma, eta,
+                                        interpret=interpret)
+            ll2 = gamma_ll_bmajor(n_bm, mix_bm, tau, gamma_prop, eta,
+                                  interpret=interpret, with_old=True)
+            ll_old, ll_new = ll2[0], ll2[1]
+
+        # --- gamma MH accept (sampler.gamma_step's stream + math) ---
         log_ratio = (
             (ll_new - ll_old)
             + _dirichlet_logpdf(gamma, alpha_rev)

@@ -159,3 +159,39 @@ def test_resident_cli(tmp_path):
     assert main(["desman", csv, "-g", "2", "-o", str(tmp_path / "x"),
                  "-i", "20", "--kernel", "pallas_resident", "--pt",
                  "2"]) == 2
+
+
+def test_fused_front_half_matches_staged_kernels():
+    """ops/fused_sweep (tau+swap+gamma-ll in one kernel) is BITWISE equal
+    to the staged tau_pallas -> swap_pallas(emit_ll) -> gamma_ll pipeline:
+    same operands, same op order, only the HBM round-trips removed."""
+    from desman_tpu.ops.fused_sweep import fused_sweep
+    from desman_tpu.ops.gamma_pallas import gamma_ll_bmajor
+    from desman_tpu.ops.swap_pallas import draw_swap_proposal, swap_bmajor
+    from desman_tpu.ops.tau_pallas import _sweep_bmajor, draw_gumbel
+
+    V, S, G = 512, 12, 4
+    t = synth.generate(V=V, S=S, G=G, coverage=50.0, seed=0)
+    n_bm = to_bmajor(jnp.asarray(t.data.counts, jnp.float32))
+    rng = np.random.default_rng(0)
+    tau0 = jnp.asarray(rng.integers(0, 4, (V, G)), jnp.int32)
+    gamma = jnp.asarray(t.gamma, jnp.float32)
+    eta = jnp.asarray(t.eta, jnp.float32)
+    mix_bm = to_bmajor(mixture(one_hot_tau(tau0), gamma))
+    key = jax.random.PRNGKey(3)
+    gz = draw_gumbel(key, V, G, 1.0)
+    g_s, h_s, logu = draw_swap_proposal(jax.random.fold_in(key, 12345), V, G)
+    gp = jnp.asarray(rng.dirichlet(np.ones(G), size=S), jnp.float32)
+
+    t1, m1 = _sweep_bmajor(n_bm, mix_bm, tau0, gz, gamma, eta,
+                           interpret=INTERPRET)
+    t1, m1, ll_old = swap_bmajor(n_bm, t1, m1, gamma, eta, g_s, h_s, logu,
+                                 interpret=INTERPRET, emit_ll=True)
+    ll2 = gamma_ll_bmajor(n_bm, m1, t1, gp, eta, interpret=INTERPRET,
+                          with_old=False)
+    tf, mf, llf = fused_sweep(n_bm, tau0, mix_bm, gamma, eta, gz, g_s, h_s,
+                              logu, gp, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(tf))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(mf))
+    np.testing.assert_array_equal(np.asarray(ll_old), np.asarray(llf[0]))
+    np.testing.assert_array_equal(np.asarray(ll2[1]), np.asarray(llf[1]))
