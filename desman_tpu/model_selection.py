@@ -125,14 +125,24 @@ def fit_grid(
     import math
 
     from .likelihood import total_coeff_host_f64
+    from .run import bind_kernel
 
     n = jnp.asarray(counts, jnp.float32)
     coeff = total_coeff_host_f64(counts)
     burn = iterations // 2
     eta = None if eta_init is None else jnp.asarray(eta_init, jnp.float32)
 
+    # kernel selections resolve exactly as in the CLI runner: topk factories
+    # bind to THESE counts (+mesh pre-split), the resident marker routes the
+    # per-G programs through run_chains_resident below
+    tau_sweep = bind_kernel(tau_sweep, np.asarray(counts), mesh)
+    resident = bool(getattr(tau_sweep, "resident", False))
+    if resident and mesh is not None:
+        raise ValueError("kernel 'pallas_resident' is single-device; "
+                         "use 'pallas' with a mesh")
+
     records: List[RunRecord] = []
-    kw = {"tau_sweep": tau_sweep} if tau_sweep else {}
+    kw = {"tau_sweep": tau_sweep} if (tau_sweep and not resident) else {}
 
     digest = _data_digest(counts, eta_init) if out_stub is not None else None
 
@@ -174,8 +184,16 @@ def fit_grid(
 
         def build(G: int):
             cfg = make_cfg(G)
-            prog = jax.jit(lambda n, keys: jax.vmap(
-                lambda k: run_chain(n, cfg, k, eta_init=eta, **kw))(keys))
+            if resident:
+                from .resident import run_chain_resident
+
+                prog = jax.jit(lambda n, keys: jax.vmap(
+                    lambda k: run_chain_resident(n, cfg, k,
+                                                 eta_init=eta))(keys))
+            else:
+                prog = jax.jit(lambda n, keys: jax.vmap(
+                    lambda k: run_chain(n, cfg, k, eta_init=eta,
+                                        **kw))(keys))
             return prog.lower(n, keys).compile()
 
         pool = ThreadPoolExecutor(max_workers=min(4, max(len(todo), 1)))
@@ -198,6 +216,10 @@ def fit_grid(
                 fut = compiled.pop(G, None)
                 if fut is not None:
                     res = fut.result()(n, keys)
+                elif resident:
+                    from .resident import run_chains_resident
+
+                    res = run_chains_resident(n, cfg, seeds, eta_init=eta)
                 else:
                     # done_on_disk flipped True->False since pool setup (dir
                     # deleted mid-run): no AOT program exists, fall back to

@@ -94,3 +94,32 @@ def test_replicate_agreement():
     m = replicate_agreement([tau, perm, tau])
     assert m[0, 1] == 0 and m[0, 2] == 0
     assert (m.diagonal() == 0).all()
+
+
+def test_pipeline_kernel_options(tmp_path):
+    """The YAML grid's `kernel` resolves through run.bind_kernel like the
+    CLI (r5: fit_grid previously passed unbound topk factories / the
+    resident marker straight into run_chain). Resident grid end-to-end;
+    topk factory binding verified on biallelic data."""
+    from desman_tpu.model_selection import fit_grid
+
+    t = synth.generate(V=80, S=8, G=2, coverage=60.0, seed=4)
+    counts = str(tmp_path / "counts.csv")
+    io.write_counts_csv(counts, t.data)
+    config = {
+        "counts": counts,
+        "output_dir": str(tmp_path / "out"),
+        "grid": {"g_min": 1, "g_max": 2, "seeds": [0], "iterations": 40,
+                 "kernel": "pallas_resident"},
+    }
+    summary = run_pipeline(config)
+    assert summary["selected_G"] == 2
+
+    # topk factory binding inside fit_grid (biallelic data, no pipeline)
+    tb = synth.generate(V=64, S=6, G=2, coverage=50.0, seed=5,
+                        error_rate=0.0, max_alleles=2)
+    from desman_tpu.ops import resolve_tau_sweep
+
+    recs = fit_grid(tb.data.counts, g_values=[2], seeds=[0], iterations=20,
+                    tau_sweep=resolve_tau_sweep("pallas_topk"))
+    assert len(recs) == 1 and np.isfinite(recs[0].mean_deviance)
