@@ -138,3 +138,29 @@ def test_cli_pt_mesh_checkpoint_and_auto_mesh_checkpoint(tmp_path):
                "--checkpoint_every", "8"])
     assert rc == 0 and os.path.exists(os.path.join(out, "fit.txt"))
     assert io.read_draws(os.path.join(out, "draws.npz"))["tau"].shape[0] == 4
+
+
+def test_auto_samples_mesh_matches_single_device(tmp_path):
+    """--auto_samples x --mesh (x --checkpoint): the ESS-extension decision
+    and trajectories are bitwise mesh-invariant; a checkpointed run agrees
+    with an uninterrupted one (r5 cell)."""
+    from desman_tpu.parallel import make_mesh
+
+    t = _small(V=30)
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    # slow-mixing-ish config so the ESS target forces at least one extension
+    cfg = SamplerConfig(G=2, burn=10, samples=12, nmf_iters=30)
+    keys = _keys([0, 1])
+    mesh = make_mesh(n_chain=2, n_data=4)
+    kw = dict(check_every=8, max_burn=10, ess_target=200.0, max_samples=40)
+
+    ref, burn_s, samp_s = run_chains_auto(n, cfg, keys, **kw)
+    got, burn_m, samp_m = run_chains_auto(n, cfg, keys, mesh=mesh, **kw)
+    assert samp_s > 12  # the target actually extended sampling
+    assert (burn_m, samp_m) == (burn_s, samp_s)
+    assert np.array_equal(np.asarray(ref.tau_star), np.asarray(got.tau_star))
+
+    ck, burn_c, samp_c = run_chains_auto(
+        n, cfg, keys, mesh=mesh, checkpoint_path=str(tmp_path / "as"), **kw)
+    assert (burn_c, samp_c) == (burn_s, samp_s)
+    assert np.array_equal(np.asarray(ref.tau_star), np.asarray(ck.tau_star))
