@@ -58,8 +58,15 @@ def bench_sweeps(results, quick):
             from desman_tpu.ops import tau_sweep_pallas
 
             sweep_fn = tau_sweep_pallas
-        runner = (partial(run_chain, tau_sweep=sweep_fn) if sweep_fn
-                  else run_chain)
+        if kernel == "resident":
+            if not on_tpu:
+                return
+            from desman_tpu.resident import run_chain_resident
+
+            runner = run_chain_resident
+        else:
+            runner = (partial(run_chain, tau_sweep=sweep_fn) if sweep_fn
+                      else run_chain)
 
         if chains:
             seeds = list(range(chains))
@@ -85,6 +92,7 @@ def bench_sweeps(results, quick):
 
     one("full_sweep_xla", 10_000, 64, 8, "xla")
     one("full_sweep_pallas", 10_000, 64, 8, "pallas")
+    one("full_sweep_resident", 10_000, 64, 8, "resident")
     one("full_sweep_chains4", 10_000, 64, 8, "xla", chains=4)
     if not quick:
         one("full_sweep_scale", 100_000, 96, 16, "pallas" if on_tpu else "xla")
