@@ -101,8 +101,19 @@ def fit_grid(
     mesh=None,
     tau_sweep=None,
     resume: bool = True,
+    ess_target: float = 0.0,
+    max_samples: int = 2000,
 ) -> List[RunRecord]:
     """Fit G x seeds on-device; optionally write per-run output dirs.
+
+    ``ess_target > 0``: each (G, seeds) run extends its sampling phase in
+    segments until every chain's post-burn loglik bulk ESS reaches the
+    target (converge.run_chains_auto with the burn pinned at
+    iterations//2; capped at ``max_samples``) — the posterior-mean
+    deviances the selection rule compares then carry a guaranteed MC
+    precision instead of whatever a fixed -i happened to buy. Trades away
+    the AOT compile pipelining (segmented host loop); composes with
+    ``mesh``, not with the resident kernel marker.
 
     Replaces the reference's shell-level process fan-out (SURVEY.md §2.2
     'multi-chain parallel'): seeds are vmapped; G values loop on host. Pass a
@@ -140,11 +151,18 @@ def fit_grid(
     if resident and mesh is not None:
         raise ValueError("kernel 'pallas_resident' is single-device; "
                          "use 'pallas' with a mesh")
+    if resident and ess_target > 0:
+        raise ValueError("ess_target needs the segmented converge path; "
+                         "use kernel 'pallas' with it")
 
     records: List[RunRecord] = []
     kw = {"tau_sweep": tau_sweep} if (tau_sweep and not resident) else {}
 
     digest = _data_digest(counts, eta_init) if out_stub is not None else None
+    if digest is not None and ess_target > 0:
+        # the achieved sampling length is data-driven — runs made under a
+        # different ESS regime must not be reused by elastic resume
+        digest = f"{digest}|ess{ess_target:g}x{int(max_samples)}"
 
     def done_on_disk(G: int) -> bool:
         if not (resume and out_stub is not None and data is not None):
@@ -174,7 +192,7 @@ def fit_grid(
         )
 
     compiled = {}
-    if mesh is None:
+    if mesh is None and ess_target <= 0:
         from concurrent.futures import ThreadPoolExecutor
 
         from .sampler import run_chain
@@ -207,7 +225,26 @@ def fit_grid(
                 records.extend(scan_run_dirs(dirs, unc_threshold))
                 continue
             cfg = make_cfg(G)
-            if mesh is not None:
+            fp_cfg = cfg
+            if ess_target > 0:
+                from .converge import run_chains_auto
+
+                keys_g = jnp.stack(
+                    [jax.random.PRNGKey(int(s)) for s in seeds])
+                res, _, samples_used = run_chains_auto(
+                    n, cfg, keys_g, eta_init=eta, mesh=mesh,
+                    max_burn=cfg.burn, ess_target=ess_target,
+                    max_samples=max_samples, **kw,
+                )
+                from dataclasses import replace as _replace
+
+                # write_outputs below reports the ACHIEVED sampling length;
+                # the fingerprint stays on the BASE cfg (done_on_disk
+                # recomputes it from make_cfg — the ESS regime already
+                # rides the digest salt above)
+                fp_cfg = cfg
+                cfg = _replace(cfg, samples=samples_used)
+            elif mesh is not None:
                 from .parallel import run_chains_sharded
 
                 res = run_chains_sharded(counts, cfg, seeds, mesh=mesh,
@@ -244,7 +281,7 @@ def fit_grid(
                     write_outputs(
                         run_dir, data, chain, cfg, seed=int(seed),
                         extra_metrics={"config_fingerprint": run_fingerprint(
-                            digest, cfg, int(seed))},
+                            digest, fp_cfg, int(seed))},
                     )
                 records.append(
                     RunRecord(G=G, seed=int(seed), mean_deviance=mean_dev,

@@ -75,6 +75,9 @@ def run_pipeline(config: dict) -> dict:
         eta_init=fres.eta, fix_eta=bool(grid.get("fix_eta", True)),
         out_stub=os.path.join(outdir, "run"), data=sel,
         tau_sweep=tau_sweep,
+        # ESS-guaranteed deviances for the selection rule (optional)
+        ess_target=float(grid.get("auto_samples", 0.0)),
+        max_samples=int(grid.get("auto_max_samples", 2000)),
     )
     pd.DataFrame([r.__dict__ for r in records]).to_csv(
         os.path.join(outdir, "collated_fits.csv"), index=False)

@@ -77,3 +77,36 @@ def test_resolve_nhap_uncertainty_veto_is_conditional():
         RunRecord(G=3, seed=0, mean_deviance=3800.0, uncertainty=0.5),
     ]
     assert resolve_nhap(records2).G == 2
+
+
+def test_fit_grid_ess_target(tmp_path):
+    """ess_target extends each run's sampling until the post-burn loglik
+    ESS reaches the target; metrics report the achieved length, and
+    elastic resume reuses ESS-regime dirs (digest salt) without
+    recomputing."""
+    import json
+
+    from desman_tpu import synth
+    from desman_tpu.model_selection import fit_grid
+
+    t = synth.generate(V=60, S=6, G=2, coverage=8.0, gamma_alpha=50.0,
+                       seed=5)  # slow-mixing: extension must trigger
+    recs = fit_grid(t.data.counts, g_values=[2], seeds=[0, 1],
+                    iterations=40, out_stub=str(tmp_path / "run"),
+                    data=t.data, ess_target=60.0, max_samples=200)
+    m = json.load(open(str(tmp_path / "run_2_0") + "/metrics.json"))
+    assert m["sampling_sweeps"] > 20, m["sampling_sweeps"]
+    assert "loglik_ess_bulk" in m
+    # resume: same config + same ESS regime -> served from disk bitwise
+    recs2 = fit_grid(t.data.counts, g_values=[2], seeds=[0, 1],
+                     iterations=40, out_stub=str(tmp_path / "run"),
+                     data=t.data, ess_target=60.0, max_samples=200)
+    assert [r.mean_deviance for r in recs2] == pytest.approx(
+        [r.mean_deviance for r in recs])
+    # a DIFFERENT ESS regime must not reuse those dirs (digest salt)
+    import os
+    mtime = os.path.getmtime(str(tmp_path / "run_2_0") + "/metrics.json")
+    fit_grid(t.data.counts, g_values=[2], seeds=[0, 1], iterations=40,
+             out_stub=str(tmp_path / "run"), data=t.data,
+             ess_target=30.0, max_samples=200)
+    assert os.path.getmtime(str(tmp_path / "run_2_0") + "/metrics.json") > mtime
