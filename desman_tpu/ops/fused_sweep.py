@@ -33,7 +33,7 @@ from .gamma_pallas import _eta_p, _fold_b
 # padding serves all of them; the fused working set is ~7 live [Vt,4S]
 # arrays vs the tau kernel's 5 — at the 512-row tile and S=64 that is
 # ~3.7 MB, comfortably inside v5e VMEM (~16 MB)
-from .tau_pallas import _round_up, _tile_rows
+from .tau_pallas import _tile_rows
 
 _LOG_FLOOR = 1e-12
 

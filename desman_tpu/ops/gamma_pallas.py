@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import NBASES
-from .tau_pallas import _round_up, _tile_rows
+from .tau_pallas import _tile_rows
 
 _LOG_FLOOR = 1e-12
 

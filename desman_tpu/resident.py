@@ -41,7 +41,7 @@ import numpy as np
 
 from .ops.fused_sweep import fused_sweep
 from .ops.gamma_pallas import gamma_apply_eta_bmajor, gamma_ll_bmajor
-from .ops.swap_pallas import draw_swap_proposal, swap_bmajor
+from .ops.swap_pallas import draw_swap_proposal
 from .ops.tau_pallas import (
     _round_up, _sweep_bmajor, _tile_rows, draw_gumbel, to_bmajor,
 )
