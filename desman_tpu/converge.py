@@ -59,12 +59,17 @@ def _plateau_stderr(seg_trace: np.ndarray) -> np.ndarray:
 _PLATEAU_CONFIRMATIONS = 2
 
 
-def _post_ess(post_rows: np.ndarray, gamma_draws=None) -> np.ndarray:
+def _post_ess(post_rows: np.ndarray, gamma_draws=None,
+              target: Optional[float] = None) -> np.ndarray:
     """Per-chain sampling-phase ESS: bulk ESS of the post-burn loglik trace,
     further min-ed with the per-entry gamma ESS when draws are stored (the
     loglik can decorrelate while an individual abundance still drifts).
 
     post_rows: [C, k] loglik draws; gamma_draws: [C, m, S, G] or None.
+    ``target``: callers that only need a below/above verdict pass the ESS
+    target so the per-entry gamma scan short-circuits at the first entry
+    below it (the full scan is O(S*G) autocorrelation passes per chain and
+    this runs at every extension check — see _need_extension).
     """
     from .diagnostics import ess_bulk
 
@@ -72,13 +77,28 @@ def _post_ess(post_rows: np.ndarray, gamma_draws=None) -> np.ndarray:
     out = np.empty(x.shape[0])
     for c in range(x.shape[0]):
         e = ess_bulk(x[c][None, :])
-        if gamma_draws is not None and gamma_draws.shape[1] >= 4:
+        if not np.isfinite(e):
+            e = 0.0
+        if (gamma_draws is not None and gamma_draws.shape[1] >= 4
+                and not (target is not None and e < target)):
             flat = np.asarray(gamma_draws[c], np.float64).reshape(
                 gamma_draws.shape[1], -1).T
-            g = min(ess_bulk(row[None, :]) for row in flat)
-            e = min(e, g) if np.isfinite(g) else e
-        out[c] = e if np.isfinite(e) else 0.0
+            for row in flat:
+                g = ess_bulk(row[None, :])
+                if np.isfinite(g):
+                    e = min(e, g)
+                if target is not None and e < target:
+                    break
+        out[c] = e
     return out
+
+
+def _need_extension(post_rows, gamma_draws, ess_target: float) -> bool:
+    """Shared extension verdict for the three auto-sampling loops
+    (run_chain_auto / run_chain_pt_auto / run_chains_auto): True when any
+    chain's sampling-phase ESS is still below the target."""
+    return bool(_post_ess(post_rows, gamma_draws,
+                          target=ess_target).min() < ess_target)
 
 
 def run_chain_auto(
@@ -177,9 +197,8 @@ def run_chain_auto(
         post_parts.append(np.asarray(trace))
         if ess_target > 0 and done_s >= target and done_s < cap:
             gd = draws.extras().get("draw_gamma")
-            ess = _post_ess(np.concatenate(post_parts)[None, :],
-                            None if gd is None else gd[None])[0]
-            if ess < ess_target:
+            if _need_extension(np.concatenate(post_parts)[None, :],
+                               None if gd is None else gd[None], ess_target):
                 target = min(done_s + check_every, cap)
     fields = draws.result_fields()
     trace_parts.extend(post_parts)
@@ -231,10 +250,12 @@ def run_chain_pt_auto(
 
     n = n.astype(jnp.float32)
     R = int(n_replicas)
-    if R < 2:  # degenerate ladder: same fallback as run_chain_pt
+    if R < 2:  # degenerate ladder: same fallback as run_chain_pt.
+        # auto_burn=False pins the burn exactly like the R>=2 path below
         return run_chain_auto(
             n, cfg, key, eta_init=eta_init, tau_init=tau_init,
-            check_every=check_every, rel_tol=rel_tol, max_burn=max_burn,
+            check_every=check_every, rel_tol=rel_tol,
+            max_burn=max_burn if auto_burn else cfg.burn,
             tau_sweep=tau_sweep, ess_target=ess_target,
             max_samples=max_samples,
         )
@@ -308,9 +329,8 @@ def run_chain_pt_auto(
         post_parts.append(np.asarray(trace))
         if ess_target > 0 and done_s >= target and done_s < cap:
             gd = draws.extras().get("draw_gamma")
-            ess = _post_ess(np.concatenate(post_parts)[None, :],
-                            None if gd is None else gd[None])[0]
-            if ess < ess_target:
+            if _need_extension(np.concatenate(post_parts)[None, :],
+                               None if gd is None else gd[None], ess_target):
                 target = min(done_s + check_every, cap)
 
     accum = pt_merge_accums(accums)
@@ -496,10 +516,24 @@ def run_chains_auto(
             burn_used = it
         _snapshot()
 
-    # phase 2 — accumulate >= cfg.samples sweeps; traced burn gates on >= it
+    # phase 2 — accumulate >= cfg.samples sweeps; traced burn gates on >= it.
+    # The loop re-evaluates the ESS-extension condition at its head instead
+    # of carrying an extension target across iterations: the decision is a
+    # deterministic function of the (checkpointed) trace/draws, so a run
+    # resumed mid-extension re-derives it and keeps extending — no
+    # extension state needs to ride the snapshot, and a preempted
+    # --auto_samples run cannot silently finalize below the target.
     target = burn_used + cfg.samples
     cap = burn_used + max(int(max_samples), cfg.samples)
-    while it < target:
+    while True:
+        if it >= target:
+            if not (ess_target > 0 and it < cap):
+                break
+            post = np.concatenate(trace_parts, axis=1)[:, burn_used:]
+            gd = draws.extras(axis=1).get("draw_gamma")  # [C,k,S,G] or None
+            if not _need_extension(post, gd, ess_target):
+                break
+            target = min(it + check_every, cap)
         if it == burn_used:  # entering phase 2: drop the scratch accums
             accums = _fresh_accums()
         seg = (min(check_every, target - it)
@@ -532,12 +566,6 @@ def run_chains_auto(
         it += seg
         trace_parts.append(_host_trace(trace))
         _snapshot()
-        if ess_target > 0 and it >= target and it < cap:
-            post = np.concatenate(trace_parts, axis=1)[:, burn_used:]
-            gd = draws.extras(axis=1).get("draw_gamma")  # [C,k,S,G] or None
-            ess = _post_ess(post, gd)
-            if ess.min() < ess_target:
-                target = min(it + check_every, cap)
 
     trace = jnp.asarray(np.concatenate(trace_parts, axis=1))
     res_cfg = replace(cfg, burn=0, samples=it - burn_used)

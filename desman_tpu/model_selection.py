@@ -239,10 +239,9 @@ def fit_grid(
                 from dataclasses import replace as _replace
 
                 # write_outputs below reports the ACHIEVED sampling length;
-                # the fingerprint stays on the BASE cfg (done_on_disk
+                # the fingerprint stays on the BASE fp_cfg (done_on_disk
                 # recomputes it from make_cfg — the ESS regime already
                 # rides the digest salt above)
-                fp_cfg = cfg
                 cfg = _replace(cfg, samples=samples_used)
             elif mesh is not None:
                 from .parallel import run_chains_sharded

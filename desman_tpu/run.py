@@ -174,6 +174,13 @@ def run(data: io.CountsData, rc: RunConfig, tau_sweep=None) -> SamplerResult:
     )
     with device_trace(rc.profile_dir):
         if getattr(tau_sweep, "resident", False):
+            # run-mode fields the resident path cannot honor must not be
+            # silently dropped (API callers bypass the CLI guard)
+            if auto or rc.pt_replicas >= 2 or rc.checkpoint_path:
+                raise ValueError(
+                    "the resident kernel supports plain runs only — "
+                    "auto_burn/auto_samples/pt/checkpoint need the "
+                    "composable 'pallas' kernel")
             from .resident import run_chain_resident
 
             res = run_chain_resident(
@@ -378,6 +385,12 @@ def run_multi(
     sweep_kw = {"tau_sweep": tau_sweep or tau_sweep_xla}
     t0 = time.time()
     if getattr(tau_sweep, "resident", False):
+        if (rc.auto_burn or rc.auto_samples > 0 or rc.pt_replicas >= 2
+                or rc.checkpoint_path or mesh is not None):
+            raise ValueError(
+                "the resident kernel supports plain/--chains runs only — "
+                "auto_burn/auto_samples/pt/checkpoint/mesh need the "
+                "composable 'pallas' kernel")
         from .resident import run_chains_resident
 
         res = run_chains_resident(n, cfg, seeds, eta_init=eta_init,

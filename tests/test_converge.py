@@ -203,3 +203,41 @@ def test_auto_samples_cli(tmp_path):
     assert main(["desman", str(tmp_path / "c.csv"), "-g", "2", "-o", out2,
                  "-i", "10", "--auto_burn", "--pt", "3",
                  "--checkpoint", str(tmp_path / "ck")]) == 2
+
+
+def test_auto_samples_checkpoint_resume_keeps_extending():
+    """r5 review fix: the ESS-extension decision is re-derived from the
+    (checkpointed) trace at every loop head, so a run interrupted
+    mid-extension resumes and keeps extending to the same endpoint as an
+    uninterrupted run — it must NOT finalize below the ESS target just
+    because `cfg.samples` sweeps are already on disk."""
+    import os
+    import tempfile
+
+    from desman_tpu.converge import run_chains_auto
+
+    t = synth.generate(V=80, S=6, G=2, coverage=6.0, gamma_alpha=50.0,
+                       seed=7)  # slow mixing: the target forces extension
+    n = jnp.asarray(t.data.counts, jnp.float32)
+    cfg = SamplerConfig(G=2, burn=20, samples=20, nmf_iters=20)
+    keys = jnp.stack([jax.random.PRNGKey(0)])
+    kw = dict(check_every=10, max_burn=20, ess_target=80.0)
+
+    ref, _, samples_ref = run_chains_auto(n, cfg, keys, max_samples=120, **kw)
+    assert samples_ref > 20, samples_ref
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = os.path.join(d, "as.npz")
+        # first life stops mid-extension (cap below the uninterrupted
+        # endpoint), committing its snapshot at the cap
+        _, _, s1 = run_chains_auto(n, cfg, keys, max_samples=40,
+                                   checkpoint_path=ck, **kw)
+        assert 20 < s1 < samples_ref
+        # second life resumes from the snapshot with the real cap and must
+        # reach the uninterrupted endpoint bitwise
+        got, _, s2 = run_chains_auto(n, cfg, keys, max_samples=120,
+                                     checkpoint_path=ck, **kw)
+    assert s2 == samples_ref, (s1, s2, samples_ref)
+    assert np.array_equal(np.asarray(ref.tau_star), np.asarray(got.tau_star))
+    np.testing.assert_allclose(np.asarray(ref.loglik_trace),
+                               np.asarray(got.loglik_trace), rtol=1e-6)
