@@ -4,18 +4,22 @@ PERF.md r4's deferred lever: the default pallas path still converts the
 mixture to/from base-major around the tau kernel every sweep (~0.05 ms)
 and runs the gamma MH (0.154 ms) and joint-eta likelihood (0.065 ms) as
 XLA [V,S,4] passes. Here the scan CARRIES the mixture in base-major
-[Vp, 4S] layout — padded once to the kernel tile size — and every
-[V]-sized pass is a Pallas kernel on those tiles:
+[Vp, 4S] layout — padded once to the kernel tile size — and the whole
+sweep is TWO pallas calls on those tiles:
 
-    tau sweep (ops/tau_pallas._sweep_bmajor)
-    -> strain-pair swap (ops/swap_pallas.swap_bmajor)
-    -> gamma MH both-sides likelihood (ops/gamma_pallas.gamma_ll_bmajor)
+    tau sweep + strain-pair swap + both gamma-MH likelihood terms
+        (ops/fused_sweep.fused_sweep — one tile visit; the swap re-exports
+        the post-swap per-sample loglik as the gamma MH's ll_old)
+    -> [host: gamma/eta MH accepts on [S]-sized stats]
     -> accepted-gamma apply + joint-eta likelihood, fused
        (ops/gamma_pallas.gamma_apply_eta_bmajor)
 
-Nothing [V]-sized touches XLA between kernels, and the layout transposes
-are gone from the sweep entirely (one conversion at init, none after —
-results need only tau/gamma/eta, never the mixture).
+(The staged single-purpose kernels — _sweep_bmajor, swap_bmajor emit_ll,
+gamma_ll_bmajor — remain the bitwise reference for the fused call and
+serve the swap_moves=False path.) Nothing [V]-sized touches XLA between
+kernels, and the layout transposes are gone from the sweep entirely (one
+conversion at init, none after — results need only tau/gamma/eta, never
+the mixture).
 
 Trajectory parity: identical PRNG streams and per-lane math as
 sampler.make_sweep_fn's pallas+fused-swap path (pad rows are inert:
